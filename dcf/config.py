@@ -1,0 +1,296 @@
+"""Configuration system (SURVEY.md T7).
+
+The reference repo (a PyTorch ContFuse reimplementation) drives everything
+from argparse flags and in-file constant dicts; every magic number there
+(ROI bounds, voxel size, anchor sizes, focal alpha/gamma, NMS thresholds)
+gets a named field here so a future reference diff is a config diff.
+
+All configs are frozen dataclasses: hashable, JSON-serializable, and safe to
+close over inside a jitted function (static by construction -- TPU/XLA needs
+static shapes, and every shape in the pipeline derives from these fields).
+
+One factory per BASELINE.json config milestone lives at the bottom
+(`lidar_only_config` ... `train_config`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Tuple
+
+
+def _round_to(x: float, step: float) -> int:
+    return int(round(x / step))
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelConfig:
+    """BEV rasterization region of interest + resolution (SURVEY.md D3).
+
+    Defaults follow the PIXOR-style front-view KITTI crop the paper uses:
+    x forward [0, 70.4) m, y left [-40, 40) m, z up [-3, 1) m, 0.1 m pixels,
+    0.2 m height slices -> a (704, 800) pseudo-image with 20 occupancy
+    channels + 1 mean-intensity channel.
+    """
+
+    x_min: float = 0.0
+    x_max: float = 70.4
+    y_min: float = -40.0
+    y_max: float = 40.0
+    z_min: float = -3.0
+    z_max: float = 1.0
+    voxel_size: float = 0.1
+    z_slice_size: float = 0.2
+    max_points: int = 24576  # static point capacity after ROI crop (pad/trunc)
+
+    @property
+    def grid_x(self) -> int:  # rows of the BEV image (forward axis)
+        return _round_to(self.x_max - self.x_min, self.voxel_size)
+
+    @property
+    def grid_y(self) -> int:  # cols of the BEV image (left-right axis)
+        return _round_to(self.y_max - self.y_min, self.voxel_size)
+
+    @property
+    def num_z_slices(self) -> int:
+        return _round_to(self.z_max - self.z_min, self.z_slice_size)
+
+    @property
+    def bev_channels(self) -> int:
+        # occupancy per z-slice + mean intensity
+        return self.num_z_slices + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    """One anchor family == one object class (SURVEY.md D6).
+
+    Sizes are (dx, dy, dz) = (length along heading, width, height) in metres;
+    KITTI community defaults (SECOND/PointPillars lineage).
+    """
+
+    name: str
+    size: Tuple[float, float, float]
+    z_center: float           # anchor box center height in lidar frame
+    rotations: Tuple[float, ...] = (0.0, 1.5707963267948966)
+    matched_threshold: float = 0.6
+    unmatched_threshold: float = 0.45
+
+
+CAR_ANCHOR = AnchorConfig("Car", (3.9, 1.6, 1.56), -1.0, matched_threshold=0.6,
+                          unmatched_threshold=0.45)
+PED_ANCHOR = AnchorConfig("Pedestrian", (0.8, 0.6, 1.73), -0.6,
+                          matched_threshold=0.5, unmatched_threshold=0.35)
+CYC_ANCHOR = AnchorConfig("Cyclist", (1.76, 0.6, 1.73), -0.6,
+                          matched_threshold=0.5, unmatched_threshold=0.35)
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageConfig:
+    """Camera branch input geometry (SURVEY.md M1)."""
+
+    height: int = 384   # KITTI images (~375 x 1242) are padded to this
+    width: int = 1248
+    channels: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """Continuous fusion layer (SURVEY.md M3/M4, paper section 3.2)."""
+
+    num_neighbors: int = 4        # K nearest lidar points per BEV pixel
+    bin_capacity: int = 8         # max points stored per BEV-scale bin
+    search_radius_cells: int = 1  # 3x3 neighborhood search
+    hidden_dim: int = 64          # MLP hidden width
+    # Geometric feature channels fed to the MLP alongside image features:
+    # (dx, dy) pixel-center offset + point z + bev distance.
+    geo_channels: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    """BEV conv backbone + FPN (SURVEY.md M2) and image ResNet (M1)."""
+
+    bev_stem_channels: int = 32
+    # channels of the four BEV residual stages (strides 2, 4, 8, 16)
+    bev_stage_channels: Tuple[int, ...] = (64, 128, 192, 256)
+    # image ResNet stage channels (strides 4, 8, 16, 32)
+    image_stage_channels: Tuple[int, ...] = (64, 128, 256, 512)
+    image_blocks_per_stage: Tuple[int, ...] = (2, 2, 2, 2)
+    bev_blocks_per_stage: Tuple[int, ...] = (2, 2, 2, 2)
+    fpn_channels: int = 128       # top-down merged channels at head stride
+    head_stride: int = 4          # detection head runs at BEV stride 4
+    # strides (relative to the BEV grid) at which continuous fusion happens
+    fusion_strides: Tuple[int, ...] = (2, 4, 8, 16)
+    dtype: str = "bfloat16"       # compute dtype (params stay float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadConfig:
+    """Detection head / decode / NMS (SURVEY.md M5-M7)."""
+
+    head_channels: int = 128
+    num_convs: int = 2
+    pre_nms_top_k: int = 1024     # score prefilter before rotated NMS
+    nms_iou_threshold: float = 0.25
+    score_threshold: float = 0.05
+    max_detections: int = 128     # static output capacity (padded + mask)
+    use_direction_classifier: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Focal + smooth-L1 losses (SURVEY.md T1)."""
+
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    cls_weight: float = 1.0
+    reg_weight: float = 2.0
+    dir_weight: float = 0.2
+    smooth_l1_beta: float = 1.0 / 9.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Host-side augmentation (SURVEY.md D4/D5)."""
+
+    flip_prob: float = 0.5
+    gt_sampling: bool = True
+    # max objects pasted per class per frame by gt-sampling
+    gt_sample_max: Tuple[int, ...] = (15, 8, 8)
+    global_rotation: float = 0.78539816  # +/- pi/4 uniform yaw jitter
+    global_scale: Tuple[float, float] = (0.95, 1.05)
+    max_boxes: int = 64           # static gt-box capacity per frame
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer / schedule / loop (SURVEY.md T2/T3)."""
+
+    batch_size: int = 8
+    num_steps: int = 18560        # ~40 epochs of 3712 frames at batch 8
+    learning_rate: float = 2e-3
+    weight_decay: float = 1e-4
+    warmup_steps: int = 300
+    grad_clip_norm: float = 10.0
+    checkpoint_every: int = 1000
+    log_every: int = 50
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Top-level config threaded explicitly through the whole framework."""
+
+    voxel: VoxelConfig = VoxelConfig()
+    image: ImageConfig = ImageConfig()
+    fusion: FusionConfig = FusionConfig()
+    backbone: BackboneConfig = BackboneConfig()
+    head: HeadConfig = HeadConfig()
+    loss: LossConfig = LossConfig()
+    augment: AugmentConfig = AugmentConfig()
+    train: TrainConfig = TrainConfig()
+    anchors: Tuple[AnchorConfig, ...] = (CAR_ANCHOR,)
+    with_camera: bool = False     # camera branch on/off
+    with_fusion: bool = False     # continuous fusion layers on/off
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.anchors)
+
+    @property
+    def anchors_per_loc(self) -> int:
+        return sum(len(a.rotations) for a in self.anchors)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        return _from_dict(cls, json.loads(text))
+
+
+def _from_dict(klass: Any, data: Any) -> Any:
+    if dataclasses.is_dataclass(klass) and isinstance(data, dict):
+        fields = {f.name: f for f in dataclasses.fields(klass)}
+        kwargs = {}
+        for key, value in data.items():
+            f = fields[key]
+            ftype = f.type if not isinstance(f.type, str) else None
+            kwargs[key] = _coerce_field(f, value)
+        return klass(**kwargs)
+    return data
+
+
+_FIELD_TYPES = {
+    "voxel": VoxelConfig, "image": ImageConfig, "fusion": FusionConfig,
+    "backbone": BackboneConfig, "head": HeadConfig, "loss": LossConfig,
+    "augment": AugmentConfig, "train": TrainConfig,
+}
+
+
+def _coerce_field(field: dataclasses.Field, value: Any) -> Any:
+    if field.name in _FIELD_TYPES and isinstance(value, dict):
+        return _from_dict(_FIELD_TYPES[field.name], value)
+    if field.name == "anchors":
+        return tuple(
+            AnchorConfig(**{k: tuple(v) if isinstance(v, list) else v
+                            for k, v in a.items()})
+            for a in value)
+    if isinstance(value, list):
+        return tuple(tuple(v) if isinstance(v, list) else v for v in value)
+    return value
+
+
+# --------------------------------------------------------------------------
+# BASELINE.json config milestones (/root/repo/BASELINE.json:7-11)
+# --------------------------------------------------------------------------
+
+def lidar_only_config() -> Config:
+    """Config 1: BEV pseudo-image + conv backbone + Car head, single frame."""
+    return Config(anchors=(CAR_ANCHOR,), with_camera=False, with_fusion=False)
+
+
+def camera_config() -> Config:
+    """Config 2: adds the ResNet image backbone feature extraction."""
+    return Config(anchors=(CAR_ANCHOR,), with_camera=True, with_fusion=False)
+
+
+def fusion_single_scale_config() -> Config:
+    """Config 3: single-scale continuous fusion, Car class."""
+    return Config(
+        anchors=(CAR_ANCHOR,), with_camera=True, with_fusion=True,
+        backbone=BackboneConfig(fusion_strides=(4,)))
+
+
+def multi_scale_config() -> Config:
+    """Config 4: fusion at all backbone strides, 3 classes, rotated NMS."""
+    return Config(
+        anchors=(CAR_ANCHOR, PED_ANCHOR, CYC_ANCHOR),
+        with_camera=True, with_fusion=True)
+
+
+def train_config() -> Config:
+    """Config 5: batched KITTI training with augmentation + losses on TPU."""
+    return multi_scale_config()
+
+
+def tiny_config(with_fusion: bool = True) -> Config:
+    """A shrunk config for tests/CI: full architecture, small shapes."""
+    voxel = VoxelConfig(x_max=25.6, y_min=-12.8, y_max=12.8, voxel_size=0.2,
+                        max_points=2048)
+    image = ImageConfig(height=96, width=320)
+    backbone = BackboneConfig(
+        bev_stem_channels=8, bev_stage_channels=(16, 24, 32, 48),
+        image_stage_channels=(8, 16, 24, 32),
+        image_blocks_per_stage=(1, 1, 1, 1), bev_blocks_per_stage=(1, 1, 1, 1),
+        fpn_channels=32, fusion_strides=(2, 4, 8, 16) if with_fusion else (4,))
+    head = HeadConfig(head_channels=32, pre_nms_top_k=256, max_detections=32)
+    fusion = FusionConfig(num_neighbors=2, bin_capacity=4, hidden_dim=16)
+    return Config(
+        voxel=voxel, image=image, backbone=backbone, head=head, fusion=fusion,
+        anchors=(CAR_ANCHOR, PED_ANCHOR, CYC_ANCHOR),
+        augment=AugmentConfig(max_boxes=16),
+        train=TrainConfig(batch_size=2, num_steps=10),
+        with_camera=with_fusion, with_fusion=with_fusion)

@@ -1,0 +1,71 @@
+"""Frame -> static-shape model example (SURVEY.md D7 host half).
+
+Bridges the variable-size host world (raw KITTI frames) and the
+static-shape device world: pads/subsamples points, letterboxes the image to
+the configured size (folding any resize scale into the projection matrix),
+and pads gt boxes to a fixed capacity with a mask.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import cv2
+import numpy as np
+
+from dcf.config import Config
+from dcf.data.kitti import Frame
+from dcf.data.voxelize import crop_and_pad
+
+
+def prepare_image(image: np.ndarray, cfg: Config):
+    """Letterbox `image` into (cfg.image.height, cfg.image.width).
+
+    Returns (image_f32 [H, W, 3] in [0,1], scale factor applied).
+    """
+    H, W = cfg.image.height, cfg.image.width
+    h, w = image.shape[:2]
+    scale = min(H / h, W / w)
+    if scale != 1.0:
+        image = cv2.resize(image, (int(round(w * scale)),
+                                   int(round(h * scale))),
+                           interpolation=cv2.INTER_LINEAR)
+    h2, w2 = image.shape[:2]
+    out = np.zeros((H, W, 3), np.float32)
+    out[:min(h2, H), :min(w2, W)] = (
+        image[:min(h2, H), :min(w2, W)].astype(np.float32) / 255.0)
+    return out, scale
+
+
+def frame_to_example(frame: Frame, cfg: Config, seed: int = 0
+                     ) -> Dict[str, np.ndarray]:
+    """Build the static-shape example dict consumed by the jitted model."""
+    points, mask = crop_and_pad(frame.points, cfg.voxel, seed=seed)
+    image, scale = prepare_image(frame.image, cfg)
+    v2i = frame.calib.velo_to_image_matrix.copy()
+    v2i[:2] *= scale                     # resize folded into projection
+
+    mb = cfg.augment.max_boxes
+    gt_boxes = np.zeros((mb, 7), np.float32)
+    gt_labels = np.zeros((mb,), np.int32)
+    gt_mask = np.zeros((mb,), bool)
+    n = min(len(frame.boxes), mb)
+    if n:
+        gt_boxes[:n] = frame.boxes[:n]
+        gt_labels[:n] = frame.labels[:n]
+        gt_mask[:n] = True
+
+    return {
+        "points": points,
+        "point_mask": mask,
+        "image": image,
+        "velo_to_image": v2i.astype(np.float32),
+        "gt_boxes": gt_boxes,
+        "gt_labels": gt_labels,
+        "gt_mask": gt_mask,
+    }
+
+
+def stack_examples(examples) -> Dict[str, np.ndarray]:
+    """Collate a list of example dicts into a batched dict."""
+    return {k: np.stack([e[k] for e in examples]) for k in examples[0]}

@@ -1,0 +1,100 @@
+"""BEV voxelization / pseudo-image rasterization (SURVEY.md D3).
+
+PIXOR-style input parameterization (the paper's): the ROI point cloud is
+scattered into a BEV pseudo-image with one binary-occupancy channel per
+height slice plus a mean-intensity channel.
+
+Host side, `crop_and_pad` turns a variable-N cloud into the framework's
+static `(points[max_points, 4], mask[max_points])` pair (SURVEY.md "static
+shapes everywhere"). Device side, `rasterize_bev` is the pure-jnp scatter
+reference; `dcf.ops.pallas.voxelize_kernel` is its fused TPU twin and is
+parity-tested against it (SURVEY.md 4.3).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcf.config import VoxelConfig
+
+
+def crop_and_pad(points: np.ndarray, cfg: VoxelConfig,
+                 shuffle: bool = False, seed: int = 0
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side ROI crop + static-shape padding.
+
+    Args:
+      points: [N, 4] float32 (x, y, z, intensity).
+
+    Returns:
+      (points[max_points, 4], mask[max_points] bool). Out-of-ROI points are
+      dropped; clouds larger than max_points are subsampled (deterministic
+      unless shuffle), smaller ones zero-padded with mask False.
+    """
+    points = np.asarray(points, np.float32).reshape(-1, 4)
+    keep = ((points[:, 0] >= cfg.x_min) & (points[:, 0] < cfg.x_max)
+            & (points[:, 1] >= cfg.y_min) & (points[:, 1] < cfg.y_max)
+            & (points[:, 2] >= cfg.z_min) & (points[:, 2] < cfg.z_max))
+    pts = points[keep]
+    if shuffle or len(pts) > cfg.max_points:
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(pts))
+        pts = pts[order[:cfg.max_points]]
+    out = np.zeros((cfg.max_points, 4), np.float32)
+    mask = np.zeros((cfg.max_points,), bool)
+    n = min(len(pts), cfg.max_points)
+    out[:n] = pts[:n]
+    mask[:n] = True
+    return out, mask
+
+
+def rasterize_bev(points: jnp.ndarray, mask: jnp.ndarray,
+                  cfg: VoxelConfig) -> jnp.ndarray:
+    """Scatter padded points into the BEV pseudo-image (jnp reference).
+
+    Args:
+      points: [P, 4] (x, y, z, intensity), zero-padded.
+      mask: [P] bool validity.
+
+    Returns:
+      [grid_x, grid_y, num_z_slices + 1] float32 pseudo-image:
+      channels [0, nz) are per-slice occupancy, channel nz is the mean
+      intensity of the points in the BEV cell (0 where empty).
+    """
+    gx, gy, nz = cfg.grid_x, cfg.grid_y, cfg.num_z_slices
+    inv_vox = 1.0 / cfg.voxel_size
+    inv_slice = 1.0 / cfg.z_slice_size
+    ix = jnp.floor((points[:, 0] - cfg.x_min) * inv_vox).astype(jnp.int32)
+    iy = jnp.floor((points[:, 1] - cfg.y_min) * inv_vox).astype(jnp.int32)
+    iz = jnp.floor((points[:, 2] - cfg.z_min) * inv_slice).astype(jnp.int32)
+    inb = (mask & (ix >= 0) & (ix < gx) & (iy >= 0) & (iy < gy)
+           & (iz >= 0) & (iz < nz))
+
+    cell = ix * gy + iy                                   # [P]
+    voxel = cell * nz + iz                                # [P]
+    # Out-of-bounds sentinel: scatter with mode="drop".
+    voxel = jnp.where(inb, voxel, gx * gy * nz)
+    cell_i = jnp.where(inb, cell, gx * gy)
+
+    occ = jnp.zeros((gx * gy * nz,), jnp.float32)
+    occ = occ.at[voxel].max(1.0, mode="drop")
+    occ = occ.reshape(gx, gy, nz)
+
+    inten_sum = jnp.zeros((gx * gy,), jnp.float32)
+    inten_sum = inten_sum.at[cell_i].add(
+        jnp.where(inb, points[:, 3], 0.0), mode="drop")
+    count = jnp.zeros((gx * gy,), jnp.float32)
+    count = count.at[cell_i].add(jnp.where(inb, 1.0, 0.0), mode="drop")
+    inten = (inten_sum / jnp.maximum(count, 1.0)).reshape(gx, gy, 1)
+
+    return jnp.concatenate([occ, inten], axis=-1)
+
+
+def rasterize_bev_batch(points: jnp.ndarray, mask: jnp.ndarray,
+                        cfg: VoxelConfig) -> jnp.ndarray:
+    """[B, P, 4] x [B, P] -> [B, gx, gy, C]."""
+    return jax.vmap(lambda p, m: rasterize_bev(p, m, cfg))(points, mask)

@@ -1,0 +1,78 @@
+"""Full ContFuse detector assembly (SURVEY.md L3, M1-M7).
+
+One Flax module covering every BASELINE.json config milestone:
+  - lidar-only (config 1): pseudo-image -> BEV stages -> FPN -> head
+  - camera branch (config 2): + image ResNet pyramid
+  - fusion (configs 3/4): continuous-fusion layers interleaved *between*
+    BEV stages so fused features feed the next stage (paper fig. 3)
+
+The forward is a pure function of (params, batch): voxelization happens
+inside, so a raw padded frame goes in and dense head maps come out in one
+jit. Decode + NMS live in dcf.models.head.decode_and_nms.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dcf.config import Config
+from dcf.data.voxelize import rasterize_bev_batch
+from dcf.models.bev_backbone import BEVFPN
+from dcf.models.fusion import ContinuousFusionLayer, image_stride_for
+from dcf.models.head import DetectionHead
+from dcf.models.layers import BasicBlock, ConvNorm
+from dcf.models.resnet import ImageBackbone
+
+
+class ContFuseDetector(nn.Module):
+    """batch dict -> {"cls", "reg", "dir"} dense prediction maps.
+
+    Expected batch keys (all static shapes, SURVEY.md hard-part #2):
+      points: [B, P, 4], point_mask: [B, P]
+      image: [B, Hi, Wi, 3] float32 in [0, 1]       (with_camera)
+      velo_to_image: [B, 3, 4]                       (with_fusion)
+    """
+
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray]
+                 ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.backbone.dtype)
+
+        pseudo = rasterize_bev_batch(batch["points"], batch["point_mask"],
+                                     cfg.voxel)
+
+        img_feats = None
+        if cfg.with_camera:
+            img_feats = ImageBackbone(cfg.backbone, name="image_backbone")(
+                batch["image"])
+
+        x = ConvNorm(cfg.backbone.bev_stem_channels, 3, 1, dtype,
+                     name="bev_stem")(pseudo.astype(dtype))
+        feats: Dict[int, jnp.ndarray] = {}
+        stride = 1
+        for stage, channels in enumerate(cfg.backbone.bev_stage_channels):
+            x = BasicBlock(channels, stride=2, dtype=dtype,
+                           name=f"bev_stage{stage}_block0")(x)
+            for b in range(cfg.backbone.bev_blocks_per_stage[stage] - 1):
+                x = BasicBlock(channels, stride=1, dtype=dtype,
+                               name=f"bev_stage{stage}_block{b + 1}")(x)
+            stride *= 2
+            if cfg.with_fusion and stride in cfg.backbone.fusion_strides:
+                img_stride = image_stride_for(stride, cfg)
+                fused = ContinuousFusionLayer(
+                    cfg, out_channels=channels, bev_stride=stride,
+                    image_stride=img_stride,
+                    name=f"fusion_s{stride}")(
+                        batch["points"], batch["point_mask"],
+                        batch["velo_to_image"], img_feats[img_stride])
+                x = x + fused.astype(dtype)
+            feats[stride] = x
+
+        y = BEVFPN(cfg.backbone, name="fpn")(feats)
+        return DetectionHead(cfg, name="head")(y)

@@ -1,0 +1,100 @@
+"""Continuous fusion layer (SURVEY.md M3/M4 — the core novelty of ContFuse).
+
+Per BEV pixel at each backbone scale (paper section 3.2, SURVEY.md 3.4):
+  1. K nearest lidar points in the BEV plane      (grid-hash KNN, static)
+  2. project each point through calib into the image plane
+  3. bilinearly interpolate image features there
+  4. concat the 3D geometric offset (point - target pixel)
+  5. shared MLP, masked sum over K -> a BEV feature map added to the stream
+
+Steps 1-4 are parameter-free jnp vmapped per frame; the MLP is a shared
+Dense stack applied batched. `dcf.ops.pallas.fusion_kernel` provides the
+single fused TPU kernel per scale (BASELINE.json:5); this module is its
+jnp reference twin, selected by `use_pallas`.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dcf.config import Config
+from dcf.geometry.transforms import project_velo_to_image
+from dcf.ops.bilinear import bilinear_sample
+from dcf.ops.knn import bin_points, knn_query_grid
+
+
+class ContinuousFusionLayer(nn.Module):
+    """One fusion layer at a fixed BEV stride / image stride pair."""
+
+    cfg: Config
+    out_channels: int
+    bev_stride: int
+    image_stride: int
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, mask: jnp.ndarray,
+                 velo_to_image: jnp.ndarray, image_feat: jnp.ndarray
+                 ) -> jnp.ndarray:
+        """Args:
+          points: [B, P, 4] padded lidar points (x, y, z, intensity).
+          mask: [B, P] validity.
+          velo_to_image: [B, 3, 4] combined projection matrices.
+          image_feat: [B, Hf, Wf, C] image features at `image_stride`.
+
+        Returns:
+          [B, H, W, out_channels] BEV feature contribution at `bev_stride`.
+        """
+        cfg = self.cfg
+        vox = cfg.voxel
+        fus = cfg.fusion
+        H = vox.grid_x // self.bev_stride
+        W = vox.grid_y // self.bev_stride
+        cell = vox.voxel_size * self.bev_stride
+        origin = (vox.x_min, vox.y_min)
+        K = fus.num_neighbors
+        dtype = jnp.dtype(cfg.backbone.dtype)
+
+        def gather(pts, msk, proj, ifeat):
+            xy = pts[:, :2]
+            table = bin_points(xy, msk, origin, cell, (H, W),
+                               fus.bin_capacity)
+            idx, nvalid, d2 = knn_query_grid(
+                table, xy, origin, cell, K, fus.search_radius_cells)
+            nbr = pts[idx]                                   # [HW, K, 4]
+            uvz = project_velo_to_image(nbr[..., :3], proj)  # [HW, K, 3]
+            in_front = uvz[..., 2] > 0.1
+            feat, inside = bilinear_sample(
+                ifeat, uvz[..., :2] / float(self.image_stride))
+            rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+            cx = origin[0] + (rows.astype(jnp.float32) + 0.5) * cell
+            cy = origin[1] + (cols.astype(jnp.float32) + 0.5) * cell
+            cxy = jnp.stack([cx, cy], -1).reshape(H * W, 1, 2)
+            geo = jnp.concatenate(
+                [nbr[..., :2] - cxy, nbr[..., 2:3],
+                 jnp.sqrt(jnp.minimum(d2, 1e6))[..., None]], axis=-1)
+            valid = nvalid & in_front & inside
+            return feat, geo, valid
+
+        feat, geo, valid = jax.vmap(gather)(points, mask, velo_to_image,
+                                            image_feat)
+        h = jnp.concatenate([feat.astype(dtype), geo.astype(dtype)], axis=-1)
+        h = nn.Dense(fus.hidden_dim, dtype=dtype,
+                     param_dtype=jnp.float32)(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.out_channels, dtype=dtype,
+                     param_dtype=jnp.float32)(h)
+        h = jnp.where(valid[..., None], h, 0.0)
+        h = jnp.sum(h, axis=2)                               # over K
+        B = points.shape[0]
+        return h.reshape(B, H, W, self.out_channels)
+
+
+def image_stride_for(bev_stride: int, cfg: Config) -> int:
+    """BEV stride -> image pyramid stride (2 -> 4, 4 -> 8, 8 -> 16, 16 -> 32,
+    clamped to available levels)."""
+    return min(bev_stride * 2, 32)

@@ -1,0 +1,127 @@
+"""Detection head + anchor decode + post-processing (SURVEY.md M5/M6/M7).
+
+Head: small conv stack over the FPN map emitting, per anchor: one class
+logit (anchors carry a fixed class, PIXOR/ContFuse style), 7 box residuals,
+and 2 direction logits (the sin-difference angle encoding in the loss makes
+yaw ambiguous mod pi; the direction classifier resolves it, SECOND-lineage).
+
+Post-processing is one jitted pure function: sigmoid scores -> per-class
+static top-K prefilter -> box decode -> on-device rotated NMS -> fixed-size
+(padded + mask) detection lists. No host round-trips (BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dcf.config import Config
+from dcf.geometry.boxes import decode_boxes
+from dcf.models.layers import ConvNorm
+from dcf.ops.nms import rotated_nms
+
+
+class DetectionHead(nn.Module):
+    """Conv head over the FPN feature map."""
+
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.backbone.dtype)
+        A = cfg.anchors_per_loc
+        for _ in range(cfg.head.num_convs):
+            x = ConvNorm(cfg.head.head_channels, 3, 1, dtype)(x)
+        prior = 0.01
+        cls = nn.Conv(A, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32,
+                      bias_init=nn.initializers.constant(
+                          -math.log((1 - prior) / prior)),
+                      name="cls")(x.astype(jnp.float32))
+        reg = nn.Conv(A * 7, (1, 1), dtype=jnp.float32,
+                      param_dtype=jnp.float32, name="reg")(
+                          x.astype(jnp.float32))
+        out = {"cls": cls, "reg": reg}
+        if cfg.head.use_direction_classifier:
+            out["dir"] = nn.Conv(A * 2, (1, 1), dtype=jnp.float32,
+                                 param_dtype=jnp.float32, name="dir")(
+                                     x.astype(jnp.float32))
+        return out
+
+
+def flatten_predictions(preds: Dict[str, jnp.ndarray], cfg: Config
+                        ) -> Dict[str, jnp.ndarray]:
+    """[B, H, W, A * k] maps -> [B, N, k] in the anchor layout
+    (dcf.models.anchors contract: location-major, then per-loc anchor)."""
+    B = preds["cls"].shape[0]
+    out = {"cls": preds["cls"].reshape(B, -1),
+           "reg": preds["reg"].reshape(B, -1, 7)}
+    if "dir" in preds:
+        out["dir"] = preds["dir"].reshape(B, -1, 2)
+    return out
+
+
+def decode_and_nms(flat: Dict[str, jnp.ndarray], anchors: jnp.ndarray,
+                   anchor_classes: jnp.ndarray, cfg: Config
+                   ) -> Dict[str, jnp.ndarray]:
+    """Batched decode + per-class rotated NMS (jit-safe, static shapes).
+
+    Args:
+      flat: {"cls": [B, N], "reg": [B, N, 7], "dir": [B, N, 2]?}.
+      anchors: [N, 7]; anchor_classes: [N] int32. Pass these as jit
+        *arguments*, never as closed-over constants (axon backend: large
+        embedded constants poison runtime performance process-wide).
+
+    Returns:
+      {"boxes": [B, D, 7], "scores": [B, D], "classes": [B, D],
+       "valid": [B, D]} with D = cfg.head.max_detections.
+    """
+
+    use_dir = "dir" in flat
+
+    def one(cls_logits, reg, dir_logits):
+        scores = jax.nn.sigmoid(cls_logits)                    # [N]
+        boxes = decode_boxes(reg, anchors)                     # [N, 7]
+        if use_dir:
+            dir_label = jnp.argmax(dir_logits, axis=-1)        # [N]
+            opp = (boxes[:, 6] > 0) != (dir_label == 1)
+            yaw = jnp.where(opp, boxes[:, 6] + jnp.pi, boxes[:, 6])
+            yaw = jnp.mod(yaw + jnp.pi, 2 * jnp.pi) - jnp.pi
+            boxes = boxes.at[:, 6].set(yaw)
+
+        all_boxes, all_scores, all_cls, all_valid = [], [], [], []
+        k = min(cfg.head.pre_nms_top_k, scores.shape[0])
+        for ci in range(cfg.num_classes):
+            mask = anchor_classes == ci                        # static
+            cls_scores = jnp.where(mask, scores, 0.0)
+            top_scores, top_idx = jax.lax.top_k(cls_scores, k)
+            top_boxes = boxes[top_idx]
+            valid = top_scores > cfg.head.score_threshold
+            keep_idx, keep_mask = rotated_nms(
+                top_boxes[:, [0, 1, 3, 4, 6]], top_scores, valid,
+                cfg.head.nms_iou_threshold, cfg.head.max_detections)
+            all_boxes.append(top_boxes[keep_idx])
+            all_scores.append(top_scores[keep_idx])
+            all_cls.append(jnp.full((cfg.head.max_detections,), ci,
+                                    jnp.int32))
+            all_valid.append(keep_mask)
+        boxes_cat = jnp.concatenate(all_boxes)                 # [C * D, 7]
+        scores_cat = jnp.concatenate(all_scores)
+        cls_cat = jnp.concatenate(all_cls)
+        valid_cat = jnp.concatenate(all_valid)
+        final_scores, idx = jax.lax.top_k(
+            jnp.where(valid_cat, scores_cat, -jnp.inf),
+            cfg.head.max_detections)
+        return (boxes_cat[idx], jnp.where(valid_cat[idx], final_scores, 0.0),
+                cls_cat[idx], valid_cat[idx])
+
+    dir_logits = (flat["dir"] if use_dir
+                  else jnp.zeros(flat["cls"].shape + (2,)))
+    boxes, scores, classes, valid = jax.vmap(one)(
+        flat["cls"], flat["reg"], dir_logits)
+    return {"boxes": boxes, "scores": scores, "classes": classes,
+            "valid": valid}

@@ -1,0 +1,114 @@
+"""Grid-hash K-nearest-neighbor search over BEV space (SURVEY.md M3, 2.4).
+
+The reference class finds per-BEV-pixel nearest lidar points with a host
+KDTree (scipy) or dense cdist — both hostile to TPU (dynamic shapes, host
+round-trips). The TPU-native design (SURVEY.md "hard parts" #1): bin points
+into the BEV grid with a fixed per-cell capacity via one argsort + scatter,
+then each pixel searches only its (2r+1)^2 neighboring bins and takes the
+K nearest by BEV distance. Everything is static-shape and O(N log N + HWK).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BinTable(NamedTuple):
+    """Fixed-capacity point bins over an H x W grid."""
+
+    indices: jnp.ndarray   # [H * W, capacity] int32 point idx, clamped
+    valid: jnp.ndarray     # [H * W, capacity] bool slot validity
+    shape: Tuple[int, int]
+
+
+def bin_points(points_xy: jnp.ndarray, mask: jnp.ndarray,
+               origin: Tuple[float, float], cell_size: float,
+               grid_hw: Tuple[int, int], capacity: int) -> BinTable:
+    """Scatter points into fixed-capacity grid bins.
+
+    Args:
+      points_xy: [P, 2] BEV coordinates (metres).
+      mask: [P] bool point validity.
+      origin: (x0, y0) of grid cell (0, 0).
+      cell_size: cell edge length in metres.
+      grid_hw: (H, W) cell counts.
+      capacity: max points kept per cell (overflow dropped).
+
+    Returns:
+      BinTable with sentinel-free clamped indices + validity mask.
+    """
+    H, W = grid_hw
+    P = points_xy.shape[0]
+    ix = jnp.floor((points_xy[:, 0] - origin[0]) / cell_size).astype(jnp.int32)
+    iy = jnp.floor((points_xy[:, 1] - origin[1]) / cell_size).astype(jnp.int32)
+    inb = mask & (ix >= 0) & (ix < H) & (iy >= 0) & (iy < W)
+    cell = jnp.where(inb, ix * W + iy, H * W)                 # sentinel H*W
+
+    order = jnp.argsort(cell)                                  # valid first
+    sorted_cell = cell[order]
+    # rank of each sorted point within its cell
+    first = jnp.searchsorted(sorted_cell, sorted_cell, side="left")
+    rank = jnp.arange(P, dtype=jnp.int32) - first.astype(jnp.int32)
+    ok = (rank < capacity) & (sorted_cell < H * W)
+    flat = jnp.where(ok, sorted_cell * capacity + rank, H * W * capacity)
+
+    table = jnp.full((H * W * capacity,), -1, jnp.int32)
+    table = table.at[flat].set(order.astype(jnp.int32), mode="drop")
+    valid = table >= 0
+    indices = jnp.where(valid, table, 0)
+    return BinTable(indices.reshape(H * W, capacity),
+                    valid.reshape(H * W, capacity), (H, W))
+
+
+def knn_query_grid(table: BinTable, points_xy: jnp.ndarray,
+                   origin: Tuple[float, float], cell_size: float,
+                   k: int, radius_cells: int = 1
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """K nearest points for every grid cell center.
+
+    Args:
+      table: BinTable built at the same resolution.
+      points_xy: [P, 2] the binned points.
+      k: neighbors per pixel.
+      radius_cells: search window half-width in cells (1 -> 3x3).
+
+    Returns:
+      idx: [H * W, k] int32 point indices (clamped; check valid).
+      valid: [H * W, k] bool.
+      dist2: [H * W, k] float32 squared BEV distances (inf where invalid).
+    """
+    H, W = table.shape
+    C = table.indices.shape[1]
+    win = 2 * radius_cells + 1
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    cx = origin[0] + (rows.astype(jnp.float32) + 0.5) * cell_size
+    cy = origin[1] + (cols.astype(jnp.float32) + 0.5) * cell_size
+    centers = jnp.stack([cx, cy], axis=-1).reshape(H * W, 2)
+
+    # neighbor cell ids: [H*W, win*win]
+    offs = jnp.arange(-radius_cells, radius_cells + 1, dtype=jnp.int32)
+    di = jnp.repeat(offs, win)
+    dj = jnp.tile(offs, win)
+    ni = rows.reshape(-1, 1) + di[None]
+    nj = cols.reshape(-1, 1) + dj[None]
+    n_ok = (ni >= 0) & (ni < H) & (nj >= 0) & (nj < W)
+    ncell = jnp.where(n_ok, ni * W + nj, 0)
+
+    cand_idx = table.indices[ncell].reshape(H * W, win * win * C)
+    cand_valid = (table.valid[ncell]
+                  & n_ok[..., None]).reshape(H * W, win * win * C)
+
+    cand_xy = points_xy[cand_idx]                            # [HW, 9C, 2]
+    diff = cand_xy - centers[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(cand_valid, d2, jnp.inf)
+
+    neg_d2, sel = jax.lax.top_k(-d2, k)                      # [HW, k]
+    idx = jnp.take_along_axis(cand_idx, sel, axis=1)
+    valid = jnp.take_along_axis(cand_valid, sel, axis=1)
+    return idx, valid, -neg_d2

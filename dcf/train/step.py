@@ -1,0 +1,76 @@
+"""The jitted training step (SURVEY.md T2, 3.1).
+
+Everything from the padded raw batch onward happens on device in one jit:
+voxelization, both backbones, fusion, head, target assignment, losses,
+optimizer update. The host only feeds batches (SURVEY.md 3.1 "TPU design
+consequence": the H2D copy is the *only* boundary).
+
+Data parallelism (SURVEY.md 2.5): the step is jit-compiled over a
+`jax.sharding.Mesh`; the batch is sharded along the `data` axis and params
+are replicated, so XLA emits the gradient all-reduce over ICI by itself —
+the idiomatic TPU equivalent of the DDP/NCCL machinery the reference class
+lacks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dcf.config import Config
+from dcf.models.detector import ContFuseDetector
+from dcf.models.head import flatten_predictions
+from dcf.train.losses import detection_loss
+from dcf.train.state import TrainState, make_optimizer
+from dcf.train.targets import assign_targets_batch
+
+
+def build_loss_fn(cfg: Config, model: ContFuseDetector):
+    """Returns loss_fn(params, batch, anchor_pack) -> (loss, metrics).
+
+    The anchor arrays are explicit arguments (device-put once by the
+    caller) — never closed-over constants (axon backend perf hazard, see
+    dcf.models.anchors.anchor_pack).
+    """
+
+    def loss_fn(params, batch, pack):
+        preds = model.apply(params, batch)
+        flat = flatten_predictions(preds, cfg)
+        targets = assign_targets_batch(
+            pack["boxes"], pack["classes"], pack["matched_thr"],
+            pack["unmatched_thr"],
+            batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
+        return detection_loss(flat, targets, cfg.loss)
+
+    return loss_fn
+
+
+def make_train_step(cfg: Config, model: ContFuseDetector
+                    ) -> Callable[[TrainState, Dict, Dict],
+                                  Tuple[TrainState, Dict]]:
+    """Returns train_step(state, batch, anchor_pack) -> (state, metrics);
+    jit it with the desired shardings (dcf.parallel.mesh.jit_train_step)."""
+    loss_fn = build_loss_fn(cfg, model)
+    tx = make_optimizer(cfg)
+
+    def train_step(state: TrainState, batch: Dict,
+                   pack: Dict) -> Tuple[TrainState, Dict]:
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, pack)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, rng=state.rng)
+        return new_state, metrics
+
+    return train_step
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in leaves))

@@ -1,0 +1,22 @@
+"""Test harness config (SURVEY.md section 4).
+
+Tests run on CPU with 8 virtual devices so the real pjit/shard_map mesh code
+path executes without TPU hardware (SURVEY.md 4.6). Must run before jax
+import, hence module level in conftest.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
