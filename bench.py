@@ -1,0 +1,101 @@
+"""Benchmark harness (BASELINE.md protocol; SURVEY.md section 6).
+
+Measures true per-frame device latency of the flagship model's jitted
+end-to-end path (voxelize -> backbones -> multi-scale continuous fusion ->
+head -> decode -> rotated NMS) at batch 1, full KITTI-resolution grid.
+
+Measurement method: on this environment's tunneled TPU backend,
+`block_until_ready` returns at enqueue time and any host fetch pays a
+~25 ms RPC round-trip, so single-call wall-clock timing is meaningless.
+Instead N inferences are chained inside one jitted `lax.scan` (a scalar
+data dependency serializes them) and timed with a single host fetch;
+per-frame time = (T(N_big) - T(N_small)) / (N_big - N_small), which
+cancels both the RTT and the dispatch overhead.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": per_frame_ms, "unit": "ms", "vs_baseline": ...}
+
+vs_baseline: the reference repo's own latency is unmeasurable here (its
+checkout is empty -- BASELINE.md); the stand-in baseline is the ContFuse
+paper's reported ~60 ms/frame (2018 GPU), so vs_baseline = 60 / value.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PAPER_BASELINE_MS = 60.0
+N_SMALL, N_BIG = 2, 12
+
+
+def _chained_inference(infer, n):
+    """n serialized inferences inside one jit; returns a scalar."""
+
+    @jax.jit
+    def chain(params, batch, pack):
+        def body(carry, _):
+            b = dict(batch)
+            b["points"] = batch["points"] + carry
+            dets = infer(params, b, pack)
+            s = dets["scores"].sum()
+            return s * 1e-20, s
+
+        _, ys = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        return ys.sum()
+
+    return chain
+
+
+def main() -> None:
+    from dcf.config import multi_scale_config
+    from dcf.data.preprocess import frame_to_example, stack_examples
+    from dcf.data.synthetic import make_frame
+    from dcf.eval.inference import make_inference_fn
+    from dcf.models.anchors import anchor_pack
+    from dcf.models.detector import ContFuseDetector
+
+    cfg = multi_scale_config()
+    model = ContFuseDetector(cfg)
+    ex = stack_examples([frame_to_example(make_frame(seed=0), cfg)])
+    batch = {k: jnp.asarray(v) for k, v in ex.items()}
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    pack = {k: jnp.asarray(v) for k, v in anchor_pack(cfg).items()}
+    infer = make_inference_fn(cfg, model)
+
+    small = _chained_inference(infer, N_SMALL)
+    big = _chained_inference(infer, N_BIG)
+    float(small(params, batch, pack))        # compile
+    float(big(params, batch, pack))
+
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(small(params, batch, pack))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(big(params, batch, pack))
+        t_big = time.perf_counter() - t0
+        samples.append((t_big - t_small) / (N_BIG - N_SMALL) * 1000.0)
+    per_frame_ms = float(np.median(samples))
+    fps = 1000.0 / per_frame_ms
+
+    print(json.dumps({
+        "metric": ("KITTI-res single-frame e2e device latency (scan-chain "
+                   "measured), flagship multi-scale fusion model, batch 1 "
+                   "(baseline = ContFuse paper ~60 ms/frame, 2018 GPU; "
+                   "reference repo unmeasurable -- empty checkout)"),
+        "value": round(per_frame_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(PAPER_BASELINE_MS / per_frame_ms, 2),
+        "frames_per_sec_per_chip": round(fps, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""Training entry point (SURVEY.md L6 / T2).
+
+    python -m dcf.cli.train --config full --data-root /data/kitti \
+        --workdir runs/full [--gt-db runs/gt_db.pkl] [--resume]
+    python -m dcf.cli.train --config tiny --synthetic 8 --steps 20
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from dcf.cli.common import add_data_args, config_by_name, resolve_dataset
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="full",
+                   choices=["lidar", "camera", "fusion1", "full", "tiny"])
+    p.add_argument("--workdir", default="runs/default")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--gt-db", default=None,
+                   help="gt-sampling database pickle (dcf.cli.build_gt_db)")
+    p.add_argument("--data-shards", type=int, default=None,
+                   help="data-parallel shards (default: all devices)")
+    add_data_args(p)
+    args = p.parse_args(argv)
+
+    cfg = config_by_name(args.config)
+    dataset = resolve_dataset(args)
+    gt_db = None
+    if args.gt_db:
+        from dcf.data.augment import GTDatabase
+        gt_db = GTDatabase.load(args.gt_db)
+
+    from dcf.train.loop import train
+    train(cfg, dataset, args.workdir, gt_db=gt_db, resume=args.resume,
+          num_steps=args.steps, num_data_shards=args.data_shards)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""Host-side training augmentation (SURVEY.md D4/D5).
+
+All augmentation operates on the raw `Frame` before static-shape
+preprocessing, with numpy; randomness is driven by a
+`np.random.Generator` seeded per (epoch, frame) from the train PRNG so
+runs are reproducible.
+
+- Horizontal flip (D4): negates y in the lidar frame, mirrors the image,
+  and rewrites the calibration so projection stays exact
+  (Calibration.flip_horizontal) -- fully camera-consistent.
+- Global yaw rotation / scaling (SECOND-style): lidar-frame only; they
+  break the lidar->image alignment, so they are only applied when the
+  model runs without fusion (cfg.with_fusion False) unless forced.
+- GT-sampling (D5): pastes objects (points + box) from an offline database
+  into the frame with rotated-BEV collision checks. Pasted objects do not
+  appear in the camera image (the standard approximation of this
+  augmentation in fusion pipelines).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from dcf.config import AugmentConfig
+from dcf.data.kitti import CLASS_NAMES, Frame
+from dcf.geometry import np_boxes
+
+
+def flip_frame(frame: Frame) -> Frame:
+    """Calibration-consistent horizontal flip."""
+    points = frame.points.copy()
+    points[:, 1] = -points[:, 1]
+    boxes = frame.boxes.copy()
+    if len(boxes):
+        boxes[:, 1] = -boxes[:, 1]
+        boxes[:, 6] = -boxes[:, 6]
+    image = frame.image[:, ::-1].copy()
+    calib = frame.calib.flip_horizontal(frame.image.shape[1])
+    return Frame(frame_id=frame.frame_id, points=points, image=image,
+                 calib=calib, boxes=boxes, labels=frame.labels,
+                 difficulty=frame.difficulty, names=frame.names,
+                 truncated=frame.truncated, occluded=frame.occluded,
+                 alpha=frame.alpha, bbox2d=frame.bbox2d)
+
+
+def global_rotate(frame: Frame, angle: float) -> Frame:
+    """Yaw-rotate points + boxes around the lidar origin (lidar-only aug:
+    breaks camera alignment)."""
+    c, s = np.cos(angle), np.sin(angle)
+    R = np.array([[c, -s], [s, c]], np.float32)
+    points = frame.points.copy()
+    points[:, :2] = points[:, :2] @ R.T
+    boxes = frame.boxes.copy()
+    if len(boxes):
+        boxes[:, :2] = boxes[:, :2] @ R.T
+        boxes[:, 6] = boxes[:, 6] + angle
+    return _with(frame, points=points, boxes=boxes)
+
+
+def global_scale(frame: Frame, scale: float) -> Frame:
+    """Uniformly scale the scene (lidar-only aug)."""
+    points = frame.points.copy()
+    points[:, :3] *= scale
+    boxes = frame.boxes.copy()
+    if len(boxes):
+        boxes[:, :6] *= scale
+    return _with(frame, points=points, boxes=boxes)
+
+
+def _with(frame: Frame, **kw) -> Frame:
+    args = dict(frame_id=frame.frame_id, points=frame.points,
+                image=frame.image, calib=frame.calib, boxes=frame.boxes,
+                labels=frame.labels, difficulty=frame.difficulty,
+                names=frame.names, truncated=frame.truncated,
+                occluded=frame.occluded, alpha=frame.alpha,
+                bbox2d=frame.bbox2d)
+    args.update(kw)
+    return Frame(**args)
+
+
+class GTDatabase:
+    """Offline database of cropped ground-truth objects (SURVEY.md D5).
+
+    Layout: {class_name: [{"box7": [7], "points": [N, 4] local (centered at
+    box center, box-frame rotation preserved as-is)}]}.
+    Built by dcf.cli.build_gt_db; loaded once per training run.
+    """
+
+    def __init__(self, db: Dict[str, List[dict]]):
+        self.db = db
+
+    @classmethod
+    def load(cls, path: str) -> "GTDatabase":
+        with open(path, "rb") as f:
+            return cls(pickle.load(f))
+
+    def save(self, path: str) -> None:
+        import os
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(self.db, f)
+        os.replace(tmp, path)
+
+    @classmethod
+    def build(cls, dataset, min_points: int = 8) -> "GTDatabase":
+        """dataset: any iterable of Frame."""
+        db: Dict[str, List[dict]] = {n: [] for n in CLASS_NAMES}
+        for frame in dataset:
+            if not len(frame.boxes):
+                continue
+            inside = np_boxes.points_in_boxes3d(frame.points[:, :3],
+                                                frame.boxes)
+            for k, name in enumerate(frame.names):
+                if name not in db:
+                    continue
+                pts = frame.points[inside[:, k]]
+                if len(pts) < min_points:
+                    continue
+                local = pts.copy()
+                local[:, :3] -= frame.boxes[k, :3]
+                db[name].append({"box7": frame.boxes[k].copy(),
+                                 "points": local})
+        return cls(db)
+
+    def sample(self, name: str, n: int,
+               rng: np.random.Generator) -> List[dict]:
+        pool = self.db.get(name, [])
+        if not pool or n <= 0:
+            return []
+        idx = rng.choice(len(pool), size=min(n, len(pool)), replace=False)
+        return [pool[i] for i in idx]
+
+
+def gt_sample_frame(frame: Frame, db: GTDatabase, cfg: AugmentConfig,
+                    rng: np.random.Generator) -> Frame:
+    """Paste sampled objects into the frame with collision checks."""
+    existing = (frame.boxes[:, [0, 1, 3, 4, 6]].copy()
+                if len(frame.boxes) else np.zeros((0, 5)))
+    new_points, new_boxes, new_labels, new_names = [], [], [], []
+    for ci, name in enumerate(CLASS_NAMES):
+        want = cfg.gt_sample_max[ci] if ci < len(cfg.gt_sample_max) else 0
+        have = int((frame.labels == ci).sum()) if len(frame.labels) else 0
+        for obj in db.sample(name, want - have, rng):
+            box = obj["box7"]
+            bev = box[[0, 1, 3, 4, 6]][None]
+            all_prev = (np.concatenate([existing] +
+                                       [b[[0, 1, 3, 4, 6]][None]
+                                        for b in new_boxes])
+                        if new_boxes else existing)
+            if len(all_prev) and np_boxes.boxes_collide_bev(
+                    bev, all_prev, margin=0.1).any():
+                continue
+            pts = obj["points"].copy()
+            pts[:, :3] += box[:3]
+            new_points.append(pts)
+            new_boxes.append(box)
+            new_labels.append(ci)
+            new_names.append(name)
+    if not new_boxes:
+        return frame
+
+    # remove original points inside the pasted boxes (they were ground)
+    pasted = np.stack(new_boxes)
+    inside = np_boxes.points_in_boxes3d(frame.points[:, :3],
+                                        pasted).any(axis=1)
+    points = np.concatenate([frame.points[~inside]] + new_points)
+    boxes = (np.concatenate([frame.boxes, pasted]) if len(frame.boxes)
+             else pasted.astype(np.float32))
+    labels = np.concatenate([frame.labels,
+                             np.asarray(new_labels, np.int32)])
+    n_new = len(new_boxes)
+    return _with(
+        frame, points=points.astype(np.float32),
+        boxes=boxes.astype(np.float32), labels=labels,
+        names=list(frame.names) + new_names,
+        difficulty=np.concatenate([frame.difficulty,
+                                   np.zeros(n_new, np.int32)]))
+
+
+def augment_frame(frame: Frame, cfg: AugmentConfig,
+                  rng: np.random.Generator,
+                  db: Optional[GTDatabase] = None,
+                  lidar_only_augs: bool = False) -> Frame:
+    """Full training-time augmentation pipeline for one frame."""
+    if db is not None and cfg.gt_sampling:
+        frame = gt_sample_frame(frame, db, cfg, rng)
+    if rng.uniform() < cfg.flip_prob:
+        frame = flip_frame(frame)
+    if lidar_only_augs:
+        if cfg.global_rotation > 0:
+            frame = global_rotate(
+                frame, rng.uniform(-cfg.global_rotation,
+                                   cfg.global_rotation))
+        lo, hi = cfg.global_scale
+        if hi > lo:
+            frame = global_scale(frame, rng.uniform(lo, hi))
+    return frame

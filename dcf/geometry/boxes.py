@@ -69,22 +69,28 @@ def _cross2(o, a, b):
 
 def _fill_forward(cand, valid):
     """Replace invalid vertices with a copy of their nearest valid
-    predecessor (circularly). [..., V, 2], [..., V] -> same shapes.
+    predecessor (circularly). [..., V, 2], [..., V] -> [..., V, 2].
 
     Duplicated consecutive vertices are harmless downstream: zero-length
     edges contribute nothing to the shoelace area and can never generate
     half-plane crossings in later clips — this is what lets the clip stay
-    sort-free (a stable-argsort compaction here is ~500x slower on TPU;
-    sorts are the enemy, cummax scans are cheap VPU ops).
+    sort-free (a stable-argsort compaction here is ~500x slower on TPU).
+    The propagation runs directly on the coordinates via associative_scan
+    (log-depth selects); an index-based cummax + take_along_axis gather is
+    ~30x slower on TPU for minor-axis gathers.
     """
-    V = cand.shape[-2]
-    slot = jax.lax.broadcasted_iota(jnp.int32, valid.shape, valid.ndim - 1)
-    marked = jnp.where(valid, slot, -1)
-    idx = jax.lax.associative_scan(jnp.maximum, marked, axis=-1)
-    last = idx[..., -1:]                       # last valid slot overall
-    idx = jnp.where(idx < 0, last, idx)        # circular wrap for leaders
-    idx = jnp.maximum(idx, 0)                  # all-invalid: garbage, masked
-    return jnp.take_along_axis(cand, idx[..., None], axis=-2)
+    v2 = jnp.broadcast_to(valid[..., None], cand.shape)
+
+    def combine(a, b):
+        va, ka = a
+        vb, kb = b
+        return jnp.where(kb, vb, va), ka | kb
+
+    filled, anyv = jax.lax.associative_scan((combine), (cand, v2), axis=-2)
+    # circular wrap: slots before the first valid vertex take the overall
+    # last valid value (== last slot after the forward scan)
+    last = filled[..., -1:, :]
+    return jnp.where(anyv, filled, last)
 
 
 def _clip_by_edge(poly, p1, p2):

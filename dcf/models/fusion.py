@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from dcf.config import Config
 from dcf.geometry.transforms import project_velo_to_image
 from dcf.ops.bilinear import bilinear_sample
-from dcf.ops.knn import bin_points, knn_query_grid
+from dcf.ops.knn import bin_points_dense, knn_select_dense
 
 
 class ContinuousFusionLayer(nn.Module):
@@ -59,16 +59,32 @@ class ContinuousFusionLayer(nn.Module):
         dtype = jnp.dtype(cfg.backbone.dtype)
 
         def gather(pts, msk, proj, ifeat):
-            xy = pts[:, :2]
-            table = bin_points(xy, msk, origin, cell, (H, W),
-                               fus.bin_capacity)
-            idx, nvalid, d2 = knn_query_grid(
-                table, xy, origin, cell, K, fus.search_radius_cells)
-            nbr = pts[idx]                                   # [HW, K, 4]
-            uvz = project_velo_to_image(nbr[..., :3], proj)  # [HW, K, 3]
+            P = pts.shape[0]
+            # Image features are sampled once per *point* (P rows), not per
+            # (pixel, neighbor) pair (H*W*K rows, ~20x more): each point
+            # projects to a single image location, so the per-pair work
+            # reduces to a small-table row gather after KNN selection.
+            uvz = project_velo_to_image(pts[:, :3], proj)       # [P, 3]
             in_front = uvz[..., 2] > 0.1
-            feat, inside = bilinear_sample(
-                ifeat, uvz[..., :2] / float(self.image_stride))
+            pfeat, inside = bilinear_sample(
+                ifeat, uvz[..., :2] / float(self.image_stride))  # [P, C]
+            img_ok = in_front & inside                           # [P]
+
+            # bin payload: (x, y, z, point index as f32 -- exact to 2^24)
+            payload = jnp.concatenate(
+                [pts[:, :3],
+                 jnp.arange(P, dtype=jnp.float32)[:, None]], axis=-1)
+            bins = bin_points_dense(payload, msk, origin, cell, (H, W),
+                                    fus.bin_capacity)
+            nbr, nvalid, d2 = knn_select_dense(
+                bins, origin, cell, K, fus.search_radius_cells)
+            nbr = nbr.reshape(H * W, K, 4)
+            nvalid = nvalid.reshape(H * W, K)
+            d2 = d2.reshape(H * W, K)
+            idx = nbr[..., 3].astype(jnp.int32)                  # [HW, K]
+            feat = pfeat[idx]                                    # [HW, K, C]
+            valid = nvalid & img_ok[idx]
+
             rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
             cx = origin[0] + (rows.astype(jnp.float32) + 0.5) * cell
@@ -77,7 +93,6 @@ class ContinuousFusionLayer(nn.Module):
             geo = jnp.concatenate(
                 [nbr[..., :2] - cxy, nbr[..., 2:3],
                  jnp.sqrt(jnp.minimum(d2, 1e6))[..., None]], axis=-1)
-            valid = nvalid & in_front & inside
             return feat, geo, valid
 
         feat, geo, valid = jax.vmap(gather)(points, mask, velo_to_image,

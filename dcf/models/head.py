@@ -103,10 +103,10 @@ def decode_and_nms(flat: Dict[str, jnp.ndarray], anchors: jnp.ndarray,
             valid = top_scores > cfg.head.score_threshold
             keep_idx, keep_mask = rotated_nms(
                 top_boxes[:, [0, 1, 3, 4, 6]], top_scores, valid,
-                cfg.head.nms_iou_threshold, cfg.head.max_detections)
+                cfg.head.nms_iou_threshold, cfg.head.nms_max_per_class)
             all_boxes.append(top_boxes[keep_idx])
             all_scores.append(top_scores[keep_idx])
-            all_cls.append(jnp.full((cfg.head.max_detections,), ci,
+            all_cls.append(jnp.full((cfg.head.nms_max_per_class,), ci,
                                     jnp.int32))
             all_valid.append(keep_mask)
         boxes_cat = jnp.concatenate(all_boxes)                 # [C * D, 7]

@@ -59,7 +59,13 @@ def greedy_select(iou: jnp.ndarray, scores: jnp.ndarray,
 def rotated_nms(boxes_bev: jnp.ndarray, scores: jnp.ndarray,
                 valid: jnp.ndarray, iou_threshold: float,
                 max_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy rotated NMS, fully on device.
+    """Greedy rotated NMS, fully on device, with *lazy* IoU.
+
+    Greedy NMS only ever consults the IoU row of the box it just selected,
+    so the K x K rotated-IoU matrix (K^2 polygon clips — seconds of device
+    time at K=1024) is never materialized: each of the `max_out` selection
+    rounds clips just the selected box against all K candidates (K pairs),
+    for max_out * K total pair-clips instead of K^2.
 
     Args:
       boxes_bev: [K, 5] (x, y, dx, dy, yaw).
@@ -72,5 +78,30 @@ def rotated_nms(boxes_bev: jnp.ndarray, scores: jnp.ndarray,
       (indices[max_out] int32 into the K inputs, keep_mask[max_out] bool),
       in descending score order.
     """
-    iou = rotated_iou_bev(boxes_bev, boxes_bev)
-    return greedy_select(iou, scores, valid, iou_threshold, max_out)
+    from dcf.geometry.boxes import rotated_intersection_area
+
+    K = boxes_bev.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
+    live = jnp.where(valid, scores.astype(jnp.float32), neg_inf)
+    areas = boxes_bev[:, 2] * boxes_bev[:, 3]
+
+    def body(i, state):
+        live, keep_idx, keep_ok = state
+        best = jnp.argmax(live).astype(jnp.int32)
+        ok = live[best] > neg_inf
+        keep_idx = keep_idx.at[i].set(best)
+        keep_ok = keep_ok.at[i].set(ok)
+        best_box = jax.lax.dynamic_index_in_dim(boxes_bev, best, 0,
+                                                keepdims=True)   # [1, 5]
+        inter = rotated_intersection_area(best_box, boxes_bev)   # [K]
+        union = areas[best] + areas - inter
+        iou = inter / jnp.maximum(union, 1e-9)
+        kill = (iou > iou_threshold) | (jnp.arange(K) == best)
+        live = jnp.where(ok & kill, neg_inf, live)
+        return live, keep_idx, keep_ok
+
+    _, keep_idx, keep_ok = jax.lax.fori_loop(
+        0, max_out, body,
+        (live, jnp.zeros((max_out,), jnp.int32),
+         jnp.zeros((max_out,), bool)))
+    return keep_idx, keep_ok

@@ -1,0 +1,78 @@
+"""Training orchestration (SURVEY.md T2/T8, call stack 3.1).
+
+Host loop responsibilities only: feed prefetched batches, log scalars,
+checkpoint periodically. Everything numerical lives in the jitted,
+DP-sharded train step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcf.config import Config
+from dcf.data.loader import Loader, infinite_batches
+from dcf.models.anchors import anchor_pack
+from dcf.models.detector import ContFuseDetector
+from dcf.parallel import mesh as pmesh
+from dcf.train import checkpoint as ckpt
+from dcf.train.state import TrainState, create_train_state
+from dcf.train.step import make_train_step
+from dcf.utils.logging import MetricsLogger
+
+
+def train(cfg: Config, dataset, workdir: str,
+          gt_db=None, resume: bool = False,
+          num_steps: Optional[int] = None,
+          num_data_shards: Optional[int] = None) -> TrainState:
+    """Run (or resume) a training job. Returns the final state."""
+    os.makedirs(workdir, exist_ok=True)
+    mesh = pmesh.make_mesh(num_data=num_data_shards)
+    model = ContFuseDetector(cfg)
+    loader = Loader(dataset, cfg, training=True, gt_db=gt_db,
+                    seed=cfg.train.seed)
+
+    batches = infinite_batches(loader)
+    first = next(batches)
+    init_batch = {k: jnp.asarray(v[:1]) for k, v in first.items()}
+    params = jax.jit(model.init)(jax.random.key(cfg.train.seed), init_batch)
+    state = create_train_state(cfg, params, seed=cfg.train.seed)
+
+    ckpt_dir = os.path.join(workdir, "checkpoints")
+    if resume:
+        latest = ckpt.latest_checkpoint(ckpt_dir)
+        if latest:
+            state = ckpt.restore_checkpoint(latest, state)
+            print(f"resumed from {latest} at step {int(state.step)}")
+
+    state = pmesh.replicate_state(state, mesh)
+    pack = pmesh.replicate_state(
+        {k: jnp.asarray(v) for k, v in anchor_pack(cfg).items()}, mesh)
+    step_fn = pmesh.jit_train_step(make_train_step(cfg, model), mesh)
+
+    logger = MetricsLogger(os.path.join(workdir, "metrics.jsonl"))
+    total = num_steps if num_steps is not None else cfg.train.num_steps
+    t0 = time.time()
+    pending = first
+    while int(state.step) < total:
+        batch = pmesh.shard_batch(pending, mesh)
+        state, metrics = step_fn(state, batch, pack)
+        pending = next(batches)
+        step = int(state.step)
+        if step % cfg.train.log_every == 0 or step == total:
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            m["step"] = step
+            m["steps_per_sec"] = cfg.train.log_every / max(
+                time.time() - t0, 1e-9)
+            t0 = time.time()
+            logger.log(m)
+        if step % cfg.train.checkpoint_every == 0 or step == total:
+            path = ckpt.save_checkpoint(ckpt_dir, jax.device_get(state), cfg)
+            print(f"saved {path}")
+    return state

@@ -56,8 +56,9 @@ def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
     def step(carry, gt):
         best_iou, best_gt = carry
         gt_box, gt_label, gt_valid, gt_idx = gt
-        iou = _iou_anchors_vs_one(anchors_bev, anchor_area,
-                                  gt_box[[0, 1, 3, 4, 6]])
+        gt_bev = jnp.stack([gt_box[0], gt_box[1], gt_box[3], gt_box[4],
+                            gt_box[6]])
+        iou = _iou_anchors_vs_one(anchors_bev, anchor_area, gt_bev)
         iou = jnp.where(gt_valid & (anchor_classes == gt_label), iou, 0.0)
         better = iou > best_iou
         best_iou = jnp.where(better, iou, best_iou)
@@ -79,11 +80,15 @@ def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
     # Force matching: gt g claims anchor gt_best_anchor[g] if it found any
     # overlap at all; later gts win scatter ties (same as sequential impls).
     force_ok = gt_mask & (gt_best_iou > 1e-4)
-    forced_pos = jnp.zeros((N,), bool).at[gt_best_anchor].max(force_ok)
+    forced_pos = (jnp.zeros((N,), jnp.int32)
+                  .at[gt_best_anchor].max(force_ok.astype(jnp.int32))
+                  .astype(bool))
+    # scatter-max so an invalid gt can never clobber a valid forced match;
+    # ties resolve to the highest gt index (deterministic)
     forced_gt = (jnp.full((N,), -1, jnp.int32)
                  .at[gt_best_anchor]
-                 .set(jnp.where(force_ok, jnp.arange(G, dtype=jnp.int32), -1),
-                      mode="drop"))
+                 .max(jnp.where(force_ok, jnp.arange(G, dtype=jnp.int32),
+                                -1)))
     best_gt = jnp.where(forced_pos & (forced_gt >= 0), forced_gt, best_gt)
     pos = pos | forced_pos
     neg = neg & ~forced_pos

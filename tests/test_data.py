@@ -1,0 +1,158 @@
+"""Data layer tests: KITTI reader round-trip on synthetic golden frames,
+augmentation invariants, gt-sampling, loader batching (SURVEY.md 4.1)."""
+
+import numpy as np
+import pytest
+
+from dcf.config import tiny_config
+from dcf.data import synthetic
+from dcf.data.augment import (GTDatabase, augment_frame, flip_frame,
+                              global_rotate, global_scale, gt_sample_frame)
+from dcf.data.kitti import KittiDataset, camera_label_to_box7
+from dcf.data.loader import Loader
+from dcf.geometry import np_boxes
+
+
+@pytest.fixture(scope="module")
+def kitti_tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti"))
+    synthetic.write_kitti_tree(root, num_frames=3)
+    return root
+
+
+class TestReader:
+    def test_roundtrip_through_disk(self, kitti_tree):
+        """Frames written as real KITTI files come back equal through the
+        real reader (byte-level golden-frame exercise)."""
+        ds = KittiDataset(kitti_tree, split="train")
+        assert len(ds) == 3
+        frame = ds[0]
+        ref = synthetic.make_frame("000000", seed=0)
+        np.testing.assert_allclose(frame.points, ref.points, atol=1e-6)
+        np.testing.assert_array_equal(frame.image, ref.image)
+        assert frame.names == ref.names
+        # label -> camera -> label round trip costs a little precision
+        np.testing.assert_allclose(frame.boxes, ref.boxes, atol=2e-2)
+        np.testing.assert_allclose(
+            frame.calib.velo_to_image_matrix,
+            ref.calib.velo_to_image_matrix, rtol=1e-6)
+
+    def test_label_conversion_roundtrip(self):
+        calib = synthetic.default_calib()
+        boxes = np.array([[12.0, -3.0, -0.9, 3.9, 1.6, 1.56, 0.4],
+                          [30.0, 8.0, -0.8, 0.8, 0.6, 1.73, -2.0]],
+                         np.float32)
+        from dcf.data.kitti import box7_to_camera_label
+        loc, dims_hwl, ry = box7_to_camera_label(boxes, calib)
+        back = camera_label_to_box7(loc, dims_hwl, ry, calib)
+        np.testing.assert_allclose(back, boxes, atol=1e-5)
+
+
+class TestAugment:
+    def test_flip_projection_consistency(self):
+        frame = synthetic.make_frame(seed=0)
+        flipped = flip_frame(frame)
+        W = frame.image.shape[1]
+        uv0 = frame.calib.velo_to_image(frame.points[:, :3])
+        uv1 = flipped.calib.velo_to_image(flipped.points[:, :3])
+        np.testing.assert_allclose(uv1[:, 0], (W - 1) - uv0[:, 0],
+                                   atol=1e-4)
+        np.testing.assert_array_equal(flipped.image, frame.image[:, ::-1])
+        # boxes mirrored
+        np.testing.assert_allclose(flipped.boxes[:, 1], -frame.boxes[:, 1])
+
+    def test_flip_involution(self):
+        frame = synthetic.make_frame(seed=0)
+        twice = flip_frame(flip_frame(frame))
+        np.testing.assert_allclose(twice.points, frame.points, atol=1e-6)
+        np.testing.assert_allclose(twice.boxes, frame.boxes, atol=1e-6)
+
+    def test_rotation_keeps_points_in_boxes(self):
+        frame = synthetic.make_frame(seed=0)
+        inside0 = np_boxes.points_in_boxes3d(frame.points[:, :3],
+                                             frame.boxes).sum()
+        rot = global_rotate(frame, 0.5)
+        inside1 = np_boxes.points_in_boxes3d(rot.points[:, :3],
+                                             rot.boxes).sum()
+        # synthetic points lie exactly ON box faces; fp rounding flips
+        # boundary membership for a fraction of them under rotation
+        assert int(inside1) >= 0.9 * int(inside0)
+
+    def test_scale(self):
+        frame = synthetic.make_frame(seed=0)
+        scaled = global_scale(frame, 1.1)
+        np.testing.assert_allclose(scaled.boxes[:, 3:6],
+                                   frame.boxes[:, 3:6] * 1.1, rtol=1e-6)
+
+
+class TestGTSampling:
+    def test_build_and_sample(self):
+        frames = [synthetic.make_frame(seed=i) for i in range(3)]
+        db = GTDatabase.build(frames, min_points=5)
+        assert all(len(db.db[c]) >= 1 for c in ("Car", "Pedestrian"))
+        rng = np.random.default_rng(0)
+        objs = db.sample("Car", 2, rng)
+        assert 1 <= len(objs) <= 2
+        assert objs[0]["points"].shape[1] == 4
+
+    def test_paste_no_collisions(self):
+        frames = [synthetic.make_frame(seed=i) for i in range(3)]
+        db = GTDatabase.build(frames, min_points=5)
+        frame = synthetic.make_frame(seed=10)
+        cfg = tiny_config().augment
+        out = gt_sample_frame(frame, db, cfg, np.random.default_rng(1))
+        assert len(out.boxes) >= len(frame.boxes)
+        bev = out.boxes[:, [0, 1, 3, 4, 6]]
+        col = np_boxes.boxes_collide_bev(bev, bev)
+        np.fill_diagonal(col, False)
+        assert not col.any()
+        assert len(out.labels) == len(out.boxes) == len(out.names)
+
+    def test_augment_frame_pipeline(self):
+        frames = [synthetic.make_frame(seed=i) for i in range(2)]
+        db = GTDatabase.build(frames, min_points=5)
+        cfg = tiny_config().augment
+        out = augment_frame(synthetic.make_frame(seed=5), cfg,
+                            np.random.default_rng(2), db=db,
+                            lidar_only_augs=True)
+        assert out.points.shape[1] == 4
+        assert np.isfinite(out.boxes).all()
+
+
+class TestLoader:
+    def test_batches_static_shapes(self):
+        cfg = tiny_config()
+        ds = [synthetic.make_frame(seed=i) for i in range(5)]
+
+        class ListDS:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                return ds[i]
+
+        loader = Loader(ListDS(), cfg, training=True, batch_size=2,
+                        num_workers=2, drop_last=True)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 2
+        for b in batches:
+            assert b["points"].shape == (2, cfg.voxel.max_points, 4)
+            assert b["image"].shape == (2, cfg.image.height,
+                                        cfg.image.width, 3)
+            assert b["gt_boxes"].shape == (2, cfg.augment.max_boxes, 7)
+
+    def test_shuffling_differs_across_epochs(self):
+        cfg = tiny_config()
+
+        class IdxDS:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                return synthetic.make_frame(seed=i)
+
+        loader = Loader(IdxDS(), cfg, training=True, batch_size=2,
+                        num_workers=1)
+        e0 = [b["points"].sum() for b in loader.epoch(0)]
+        e1 = [b["points"].sum() for b in loader.epoch(1)]
+        assert e0 != e1

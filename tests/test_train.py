@@ -1,0 +1,131 @@
+"""Training-stack tests: step mechanics, overfit smoke, checkpointing,
+multi-device DP (SURVEY.md 4.5/4.6)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dcf.config import tiny_config
+from dcf.data.preprocess import frame_to_example, stack_examples
+from dcf.data.synthetic import make_frame
+from dcf.models.anchors import anchor_pack
+from dcf.models.detector import ContFuseDetector
+from dcf.parallel import mesh as pmesh
+from dcf.train import checkpoint as ckpt
+from dcf.train.state import create_train_state
+from dcf.train.step import make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config(with_fusion=True)
+    model = ContFuseDetector(cfg)
+    frame = make_frame(seed=0)
+    batch = {k: jnp.asarray(v) for k, v in stack_examples(
+        [frame_to_example(frame, cfg)] * 2).items()}
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    state = create_train_state(cfg, params)
+    pack = {k: jnp.asarray(v) for k, v in anchor_pack(cfg).items()}
+    # no donation here: tests reuse the fixture state across cases
+    step = jax.jit(make_train_step(cfg, model))
+    return cfg, model, batch, state, pack, step
+
+
+class TestTrainStep:
+    def test_loss_decreases_overfit(self, setup):
+        cfg, model, batch, state, pack, step = setup
+        losses = []
+        for _ in range(12):
+            state, metrics = step(state, batch, pack)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+        assert float(metrics["num_pos"]) > 0
+
+    def test_grad_norm_finite(self, setup):
+        cfg, model, batch, state, pack, step = setup
+        _, metrics = step(state, batch, pack)
+        assert np.isfinite(float(metrics["grad_norm"]))
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, setup, tmp_path):
+        cfg, model, batch, state, pack, step = setup
+        state, _ = step(state, batch, pack)
+        path = ckpt.save_checkpoint(str(tmp_path), jax.device_get(state),
+                                    cfg)
+        assert os.path.exists(path)
+        template = create_train_state(
+            cfg, jax.tree.map(jnp.zeros_like, state.params))
+        restored = ckpt.restore_checkpoint(path, template)
+        assert int(restored.step) == int(state.step)
+        for a, b in zip(jax.tree.leaves(restored.params),
+                        jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_atomicity_artifacts(self, setup, tmp_path):
+        cfg, model, batch, state, pack, step = setup
+        ckpt.save_checkpoint(str(tmp_path), jax.device_get(state), cfg)
+        files = os.listdir(tmp_path)
+        assert not any(f.endswith(".tmp") for f in files)
+        assert "config.json" in files
+        cfg2 = ckpt.load_config(str(tmp_path))
+        assert cfg2 == cfg
+
+    def test_latest_and_prune(self, setup, tmp_path):
+        cfg, model, batch, state, pack, step = setup
+        host = jax.device_get(state)
+        for s in range(7):
+            host = host._replace(step=jnp.asarray(s))
+            ckpt.save_checkpoint(str(tmp_path), host, cfg, keep=3)
+        names = sorted(f for f in os.listdir(tmp_path)
+                       if f.startswith("ckpt_"))
+        assert len(names) == 3
+        assert ckpt.latest_checkpoint(str(tmp_path)).endswith(names[-1])
+
+
+class TestDataParallel:
+    def test_dp_train_step_8_devices(self):
+        """Real pjit mesh path on the 8-device virtual CPU mesh
+        (SURVEY.md 4.6)."""
+        assert len(jax.devices()) >= 8
+        from __graft_entry__ import dryrun_multichip
+        dryrun_multichip(8)
+
+    def test_dp_matches_single_device(self):
+        """One DP step on 4 devices == same step on 1 device."""
+        cfg = tiny_config(with_fusion=False)
+        model = ContFuseDetector(cfg)
+        examples = [frame_to_example(make_frame(seed=i), cfg)
+                    for i in range(4)]
+        batch_np = stack_examples(examples)
+        init_b = {k: jnp.asarray(v[:1]) for k, v in batch_np.items()}
+        params = jax.jit(model.init)(jax.random.key(0), init_b)
+        pack_np = anchor_pack(cfg)
+
+        def run(n_dev):
+            mesh = pmesh.make_mesh(num_data=n_dev,
+                                   devices=jax.devices()[:n_dev])
+            # fresh param copies: the donated train step would otherwise
+            # consume the shared originals (device_put no-ops when the
+            # target placement matches, so donation hits the source)
+            fresh = jax.tree.map(jnp.array, params)
+            state = pmesh.replicate_state(
+                create_train_state(cfg, fresh), mesh)
+            pack = pmesh.replicate_state(
+                {k: jnp.asarray(v) for k, v in pack_np.items()}, mesh)
+            batch = pmesh.shard_batch(batch_np, mesh)
+            step = pmesh.jit_train_step(make_train_step(cfg, model), mesh)
+            state, metrics = step(state, batch, pack)
+            return jax.device_get(state.params), float(metrics["loss"])
+
+        p1, l1 = run(1)
+        p4, l4 = run(4)
+        np.testing.assert_allclose(l1, l4, rtol=1e-5)
+        # cross-device psum reassociates float adds: tolerate tiny drift
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
