@@ -5,12 +5,12 @@ end-to-end path (voxelize -> backbones -> multi-scale continuous fusion ->
 head -> decode -> rotated NMS) at batch 1, full KITTI-resolution grid.
 
 Measurement method: on this environment's tunneled TPU backend,
-`block_until_ready` returns at enqueue time and any host fetch pays a
+`jax.block_until_ready` returns at *enqueue* time and any host fetch pays a
 ~25 ms RPC round-trip, so single-call wall-clock timing is meaningless.
-Instead N inferences are chained inside one jitted `lax.scan` (a scalar
-data dependency serializes them) and timed with a single host fetch;
-per-frame time = (T(N_big) - T(N_small)) / (N_big - N_small), which
-cancels both the RTT and the dispatch overhead.
+Instead N executions are enqueued back-to-back (the device runs them
+in order) and the final result is fetched once; the per-frame time is the
+slope (T(N_big) - T(N_small)) / (N_big - N_small), which cancels both the
+round-trip and the enqueue overhead.
 
 Prints ONE JSON line:
   {"metric": ..., "value": per_frame_ms, "unit": "ms", "vs_baseline": ...}
@@ -30,25 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 PAPER_BASELINE_MS = 60.0
-N_SMALL, N_BIG = 2, 12
-
-
-def _chained_inference(infer, n):
-    """n serialized inferences inside one jit; returns a scalar."""
-
-    @jax.jit
-    def chain(params, batch, pack):
-        def body(carry, _):
-            b = dict(batch)
-            b["points"] = batch["points"] + carry
-            dets = infer(params, b, pack)
-            s = dets["scores"].sum()
-            return s * 1e-20, s
-
-        _, ys = jax.lax.scan(body, jnp.float32(0), None, length=n)
-        return ys.sum()
-
-    return chain
+N_SMALL, N_BIG = 4, 24
 
 
 def main() -> None:
@@ -65,30 +47,35 @@ def main() -> None:
     batch = {k: jnp.asarray(v) for k, v in ex.items()}
     params = jax.jit(model.init)(jax.random.key(0), batch)
     pack = {k: jnp.asarray(v) for k, v in anchor_pack(cfg).items()}
-    infer = make_inference_fn(cfg, model)
+    infer0 = make_inference_fn(cfg, model)
+    # scalar summary output keeps the final fetch to one small transfer
+    infer = jax.jit(lambda p, b, k: infer0(p, b, k)["scores"].sum())
 
-    small = _chained_inference(infer, N_SMALL)
-    big = _chained_inference(infer, N_BIG)
-    float(small(params, batch, pack))        # compile
-    float(big(params, batch, pack))
+    float(infer(params, batch, pack))        # compile + settle
 
+    def timed(n: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = infer(params, batch, pack)
+        float(out)                            # fetch once: waits for all
+        return time.perf_counter() - t0
+
+    timed(2)                                  # warm the dispatch path
     samples = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(small(params, batch, pack))
-        t_small = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(big(params, batch, pack))
-        t_big = time.perf_counter() - t0
+    for _ in range(3):
+        t_small = timed(N_SMALL)
+        t_big = timed(N_BIG)
         samples.append((t_big - t_small) / (N_BIG - N_SMALL) * 1000.0)
     per_frame_ms = float(np.median(samples))
     fps = 1000.0 / per_frame_ms
 
     print(json.dumps({
-        "metric": ("KITTI-res single-frame e2e device latency (scan-chain "
-                   "measured), flagship multi-scale fusion model, batch 1 "
-                   "(baseline = ContFuse paper ~60 ms/frame, 2018 GPU; "
-                   "reference repo unmeasurable -- empty checkout)"),
+        "metric": ("KITTI-res single-frame e2e device latency "
+                   "(execution-chain measured), flagship multi-scale "
+                   "fusion model, batch 1 (baseline = ContFuse paper "
+                   "~60 ms/frame, 2018 GPU; reference repo unmeasurable "
+                   "-- empty checkout)"),
         "value": round(per_frame_ms, 3),
         "unit": "ms",
         "vs_baseline": round(PAPER_BASELINE_MS / per_frame_ms, 2),

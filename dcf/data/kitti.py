@@ -164,9 +164,8 @@ class KittiDataset:
         return os.path.join(self.root, self.subdir, kind, frame_id + ext)
 
     def read_points(self, frame_id: str) -> np.ndarray:
-        raw = np.fromfile(self._path("velodyne", frame_id, ".bin"),
-                          dtype=np.float32)
-        return raw.reshape(-1, 4)
+        from dcf import native
+        return native.read_velodyne(self._path("velodyne", frame_id, ".bin"))
 
     def read_image(self, frame_id: str) -> np.ndarray:
         with Image.open(self._path("image_2", frame_id, ".png")) as im:

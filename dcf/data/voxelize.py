@@ -36,6 +36,17 @@ def crop_and_pad(points: np.ndarray, cfg: VoxelConfig,
       unless shuffle), smaller ones zero-padded with mask False.
     """
     points = np.asarray(points, np.float32).reshape(-1, 4)
+    if not shuffle:
+        # native fast path (dcf/native); falls through to numpy when the
+        # crop overflows max_points (subsampling policy lives here)
+        from dcf import native
+        res = native.crop_pad(
+            points, (cfg.x_min, cfg.x_max, cfg.y_min, cfg.y_max,
+                     cfg.z_min, cfg.z_max), cfg.max_points)
+        if res is not None:
+            out, mask = res
+            if not mask.all():          # no overflow happened
+                return out, mask
     keep = ((points[:, 0] >= cfg.x_min) & (points[:, 0] < cfg.x_max)
             & (points[:, 1] >= cfg.y_min) & (points[:, 1] < cfg.y_max)
             & (points[:, 2] >= cfg.z_min) & (points[:, 2] < cfg.z_max))

@@ -114,12 +114,13 @@ def evaluate(gts: Sequence[FrameGroundTruth],
       {"Car_3d_moderate": AP, ...} for all class x difficulty cells.
     """
     assert len(gts) == len(dets)
+    from dcf import native
     if metric == "3d":
-        iou_fn = np_boxes.iou_3d
+        iou_fn = native.iou_3d
     else:
         def iou_fn(a, b):
-            return np_boxes.rotated_iou_bev(a[:, [0, 1, 3, 4, 6]],
-                                            b[:, [0, 1, 3, 4, 6]])
+            return native.rotated_iou_bev(a[:, [0, 1, 3, 4, 6]],
+                                          b[:, [0, 1, 3, 4, 6]])
 
     results: Dict[str, float] = {}
     for ci, cname in enumerate(CLASS_NAMES):

@@ -82,7 +82,6 @@ class ContinuousFusionLayer(nn.Module):
             nvalid = nvalid.reshape(H * W, K)
             d2 = d2.reshape(H * W, K)
             idx = nbr[..., 3].astype(jnp.int32)                  # [HW, K]
-            feat = pfeat[idx]                                    # [HW, K, C]
             valid = nvalid & img_ok[idx]
 
             rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
@@ -93,14 +92,21 @@ class ContinuousFusionLayer(nn.Module):
             geo = jnp.concatenate(
                 [nbr[..., :2] - cxy, nbr[..., 2:3],
                  jnp.sqrt(jnp.minimum(d2, 1e6))[..., None]], axis=-1)
-            return feat, geo, valid
+            return idx, geo, valid, pfeat
 
-        feat, geo, valid = jax.vmap(gather)(points, mask, velo_to_image,
-                                            image_feat)
-        h = jnp.concatenate([feat.astype(dtype), geo.astype(dtype)], axis=-1)
-        h = nn.Dense(fus.hidden_dim, dtype=dtype,
-                     param_dtype=jnp.float32)(h)
-        h = nn.relu(h)
+        idx, geo, valid, pfeat = jax.vmap(gather)(points, mask,
+                                                  velo_to_image, image_feat)
+        # The first MLP layer is split: its image-feature half is applied
+        # per *point* before the per-pair gather, so the gather moves
+        # hidden_dim-wide rows instead of C_img-wide ones (2-8x narrower at
+        # the coarse scales), and the geometric half is added per pair.
+        z1 = nn.Dense(fus.hidden_dim, use_bias=False, dtype=dtype,
+                      param_dtype=jnp.float32,
+                      name="img_proj")(pfeat.astype(dtype))   # [B, P, hid]
+        z1g = jax.vmap(lambda z, i: z[i])(z1, idx)            # [B, HW, K, h]
+        g1 = nn.Dense(fus.hidden_dim, dtype=dtype, param_dtype=jnp.float32,
+                      name="geo_proj")(geo.astype(dtype))
+        h = nn.relu(z1g + g1)
         h = nn.Dense(self.out_channels, dtype=dtype,
                      param_dtype=jnp.float32)(h)
         h = jnp.where(valid[..., None], h, 0.0)

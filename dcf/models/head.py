@@ -93,26 +93,27 @@ def decode_and_nms(flat: Dict[str, jnp.ndarray], anchors: jnp.ndarray,
             yaw = jnp.mod(yaw + jnp.pi, 2 * jnp.pi) - jnp.pi
             boxes = boxes.at[:, 6].set(yaw)
 
-        all_boxes, all_scores, all_cls, all_valid = [], [], [], []
         k = min(cfg.head.pre_nms_top_k, scores.shape[0])
-        for ci in range(cfg.num_classes):
-            mask = anchor_classes == ci                        # static
-            cls_scores = jnp.where(mask, scores, 0.0)
-            top_scores, top_idx = jax.lax.top_k(cls_scores, k)
-            top_boxes = boxes[top_idx]
-            valid = top_scores > cfg.head.score_threshold
-            keep_idx, keep_mask = rotated_nms(
-                top_boxes[:, [0, 1, 3, 4, 6]], top_scores, valid,
-                cfg.head.nms_iou_threshold, cfg.head.nms_max_per_class)
-            all_boxes.append(top_boxes[keep_idx])
-            all_scores.append(top_scores[keep_idx])
-            all_cls.append(jnp.full((cfg.head.nms_max_per_class,), ci,
-                                    jnp.int32))
-            all_valid.append(keep_mask)
-        boxes_cat = jnp.concatenate(all_boxes)                 # [C * D, 7]
-        scores_cat = jnp.concatenate(all_scores)
-        cls_cat = jnp.concatenate(all_cls)
-        valid_cat = jnp.concatenate(all_valid)
+        C = cfg.num_classes
+        D = cfg.head.nms_max_per_class
+        # all classes processed in one vmapped NMS (a python loop would
+        # serialize C greedy while-loops on device)
+        class_ids = jnp.arange(C, dtype=anchor_classes.dtype)
+        cls_scores = jnp.where(anchor_classes[None, :] == class_ids[:, None],
+                               scores[None, :], 0.0)          # [C, N]
+        top_scores, top_idx = jax.lax.top_k(cls_scores, k)     # [C, k]
+        top_boxes = boxes[top_idx]                             # [C, k, 7]
+        valid = top_scores > cfg.head.score_threshold
+        keep_idx, keep_mask = jax.vmap(
+            lambda b, s, v: rotated_nms(b, s, v, cfg.head.nms_iou_threshold,
+                                        D)
+        )(top_boxes[..., [0, 1, 3, 4, 6]], top_scores, valid)  # [C, D]
+        boxes_cat = jnp.take_along_axis(
+            top_boxes, keep_idx[..., None], axis=1).reshape(C * D, 7)
+        scores_cat = jnp.take_along_axis(top_scores, keep_idx,
+                                         axis=1).reshape(C * D)
+        cls_cat = jnp.repeat(class_ids.astype(jnp.int32), D)
+        valid_cat = keep_mask.reshape(C * D)
         final_scores, idx = jax.lax.top_k(
             jnp.where(valid_cat, scores_cat, -jnp.inf),
             cfg.head.max_detections)

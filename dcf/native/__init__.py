@@ -1,0 +1,134 @@
+"""ctypes loader for the native host core (SURVEY.md 2.4).
+
+Builds `libdcf_native.so` from kitti_io.cpp on first use (g++ is in the
+image; pybind11 is not, hence the plain C ABI + ctypes). Every entry point
+has a numpy fallback, so the framework works without a compiler -- the
+native path just makes the host data loop and the offline evaluator fast.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "kitti_io.cpp")
+_LIB_PATH = os.path.join(_HERE, "libdcf_native.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _LIB_PATH, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.dcf_read_velodyne.restype = ctypes.c_int
+        lib.dcf_read_velodyne.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.dcf_crop_pad.restype = ctypes.c_int
+        lib.dcf_crop_pad.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8)]
+        for name in ("dcf_rotated_iou_bev", "dcf_iou_3d"):
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _dptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def read_velodyne(path: str, max_points: int = 200_000) -> np.ndarray:
+    """Fast .bin reader; falls back to np.fromfile."""
+    lib = get_lib()
+    if lib is None:
+        return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    buf = np.empty((max_points, 4), np.float32)
+    n = lib.dcf_read_velodyne(path.encode(), _fptr(buf), buf.size)
+    if n < 0:
+        raise FileNotFoundError(path)
+    return buf[:n // 4].copy()
+
+
+def crop_pad(points: np.ndarray, roi, max_points: int):
+    """Native ROI crop + pad; returns (out [max_points,4], mask)."""
+    lib = get_lib()
+    points = np.ascontiguousarray(points, np.float32)
+    if lib is None:
+        return None
+    roi_arr = np.asarray(roi, np.float64)
+    out = np.empty((max_points, 4), np.float32)
+    mask = np.empty((max_points,), np.uint8)
+    lib.dcf_crop_pad(_fptr(points), points.shape[0], _dptr(roi_arr),
+                     max_points, points.shape[1], _fptr(out),
+                     mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out, mask.astype(bool)
+
+
+def rotated_iou_bev(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """Native pairwise rotated BEV IoU ([N,5] x [M,5])."""
+    lib = get_lib()
+    a = np.ascontiguousarray(boxes_a, np.float64).reshape(-1, 5)
+    b = np.ascontiguousarray(boxes_b, np.float64).reshape(-1, 5)
+    if lib is None:
+        from dcf.geometry import np_boxes
+        return np_boxes.rotated_iou_bev(a, b)
+    out = np.empty((len(a), len(b)), np.float64)
+    lib.dcf_rotated_iou_bev(_dptr(a), len(a), _dptr(b), len(b), _dptr(out))
+    return out
+
+
+def iou_3d(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """Native pairwise 3D IoU ([N,7] x [M,7])."""
+    lib = get_lib()
+    a = np.ascontiguousarray(boxes_a, np.float64).reshape(-1, 7)
+    b = np.ascontiguousarray(boxes_b, np.float64).reshape(-1, 7)
+    if lib is None:
+        from dcf.geometry import np_boxes
+        return np_boxes.iou_3d(a, b)
+    out = np.empty((len(a), len(b)), np.float64)
+    lib.dcf_iou_3d(_dptr(a), len(a), _dptr(b), len(b), _dptr(out))
+    return out

