@@ -103,6 +103,9 @@ class FusionConfig:
     bin_capacity: int = 8         # max points stored per BEV-scale bin
     search_radius_cells: int = 1  # 3x3 neighborhood search
     hidden_dim: int = 64          # MLP hidden width
+    # Pallas streaming-KNN kernel on TPU (jnp twin elsewhere / if False)
+    use_pallas: bool = True
+    pallas_tile_rows: int = 32
     # Geometric feature channels fed to the MLP alongside image features:
     # (dx, dy) pixel-center offset + point z + bev distance.
     geo_channels: int = 4

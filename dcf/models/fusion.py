@@ -58,7 +58,7 @@ class ContinuousFusionLayer(nn.Module):
         K = fus.num_neighbors
         dtype = jnp.dtype(cfg.backbone.dtype)
 
-        def gather(pts, msk, proj, ifeat):
+        def prepare(pts, msk, proj, ifeat):
             P = pts.shape[0]
             # Image features are sampled once per *point* (P rows), not per
             # (pixel, neighbor) pair (H*W*K rows, ~20x more): each point
@@ -76,26 +76,36 @@ class ContinuousFusionLayer(nn.Module):
                  jnp.arange(P, dtype=jnp.float32)[:, None]], axis=-1)
             bins = bin_points_dense(payload, msk, origin, cell, (H, W),
                                     fus.bin_capacity)
-            nbr, nvalid, d2 = knn_select_dense(
-                bins, origin, cell, K, fus.search_radius_cells)
-            nbr = nbr.reshape(H * W, K, 4)
-            nvalid = nvalid.reshape(H * W, K)
-            d2 = d2.reshape(H * W, K)
-            idx = nbr[..., 3].astype(jnp.int32)                  # [HW, K]
-            valid = nvalid & img_ok[idx]
+            return bins, pfeat, img_ok
 
-            rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-            cx = origin[0] + (rows.astype(jnp.float32) + 0.5) * cell
-            cy = origin[1] + (cols.astype(jnp.float32) + 0.5) * cell
-            cxy = jnp.stack([cx, cy], -1).reshape(H * W, 1, 2)
-            geo = jnp.concatenate(
-                [nbr[..., :2] - cxy, nbr[..., 2:3],
-                 jnp.sqrt(jnp.minimum(d2, 1e6))[..., None]], axis=-1)
-            return idx, geo, valid, pfeat
+        bins, pfeat, img_ok = jax.vmap(prepare)(points, mask,
+                                                velo_to_image, image_feat)
 
-        idx, geo, valid, pfeat = jax.vmap(gather)(points, mask,
-                                                  velo_to_image, image_feat)
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        if fus.use_pallas and on_tpu:
+            from dcf.ops.pallas.knn_kernel import knn_select_pallas
+            nbr, nvalid, d2 = knn_select_pallas(
+                bins, origin, cell, K, fus.search_radius_cells,
+                tile_rows=fus.pallas_tile_rows)      # [B, H, W, K, ...]
+        else:
+            nbr, nvalid, d2 = jax.vmap(
+                lambda b: knn_select_dense(b, origin, cell, K,
+                                           fus.search_radius_cells))(bins)
+        B = points.shape[0]
+        nbr = nbr.reshape(B, H * W, K, 4)
+        nvalid = nvalid.reshape(B, H * W, K)
+        d2 = d2.reshape(B, H * W, K)
+        idx = nbr[..., 3].astype(jnp.int32)                      # [B, HW, K]
+        valid = nvalid & jax.vmap(lambda o, i: o[i])(img_ok, idx)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        cx = origin[0] + (rows.astype(jnp.float32) + 0.5) * cell
+        cy = origin[1] + (cols.astype(jnp.float32) + 0.5) * cell
+        cxy = jnp.stack([cx, cy], -1).reshape(1, H * W, 1, 2)
+        geo = jnp.concatenate(
+            [nbr[..., :2] - cxy, nbr[..., 2:3],
+             jnp.sqrt(jnp.minimum(d2, 1e6))[..., None]], axis=-1)
         # The first MLP layer is split: its image-feature half is applied
         # per *point* before the per-pair gather, so the gather moves
         # hidden_dim-wide rows instead of C_img-wide ones (2-8x narrower at

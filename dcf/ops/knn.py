@@ -210,34 +210,44 @@ def knn_select_dense(bins: DenseBins, origin: Tuple[float, float],
     win = 2 * r + 1
     pdata = jnp.pad(bins.data, ((r, r), (r, r), (0, 0), (0, 0)))
     pvalid = jnp.pad(bins.valid, ((r, r), (r, r), (0, 0)))
-    cand = jnp.concatenate(
-        [pdata[di:di + H, dj:dj + W]
-         for di in range(win) for dj in range(win)], axis=2)
-    cval = jnp.concatenate(
-        [pvalid[di:di + H, dj:dj + W]
-         for di in range(win) for dj in range(win)], axis=2)
+    shifts = [(di, dj) for di in range(win) for dj in range(win)]
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     cx = origin[0] + (rows.astype(jnp.float32) + 0.5) * cell_size
     cy = origin[1] + (cols.astype(jnp.float32) + 0.5) * cell_size
-    dx = cand[..., 0] - cx[..., None]
-    dy = cand[..., 1] - cy[..., None]
     big = jnp.float32(1e30)
-    d2 = jnp.where(cval, dx * dx + dy * dy, big)            # [H, W, 9C]
 
-    # Streaming k-pass min selection with one-hot row extraction: both
-    # lax.top_k (a full sort of the candidate axis) and take_along_axis
-    # (minor-axis gather) are pathologically slow on TPU; k argmin passes
-    # + masked-sum row selection are plain VPU reductions that XLA fuses.
-    ncand = d2.shape[-1]
+    # Only scalar distances are ever materialized at the full candidate
+    # width; the [H, W, win^2*C, D] payload concat this replaces was the
+    # hottest op of the model (13 ms of pad/concat HBM churn at stride 2).
+    d2_parts = []
+    for (di, dj) in shifts:
+        sd = pdata[di:di + H, dj:dj + W]                     # [H, W, C, D]
+        sv = pvalid[di:di + H, dj:dj + W]
+        ddx = sd[..., 0] - cx[..., None]
+        ddy = sd[..., 1] - cy[..., None]
+        d2_parts.append(jnp.where(sv, ddx * ddx + ddy * ddy, big))
+    d2 = jnp.concatenate(d2_parts, axis=-1)                  # [H, W, 9C]
+
+    # Streaming k-pass min selection: lax.top_k (a full sort of the
+    # candidate axis) and take_along_axis (minor-axis gather) are both
+    # pathologically slow on TPU; k argmin passes + per-shift masked-sum
+    # row extraction are plain VPU reductions that XLA fuses into the
+    # shifted slices of the bin array.
     slots = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
     nbrs, valids, dists = [], [], []
     for _ in range(k):
         best = jnp.argmin(d2, axis=-1)                       # [H, W]
         hit = slots == best[..., None]                       # [H, W, 9C]
         bd = jnp.min(d2, axis=-1)
-        nbrs.append(jnp.sum(jnp.where(hit[..., None], cand, 0), axis=2))
+        nbr_k = jnp.zeros((H, W, D), bins.data.dtype)
+        for s, (di, dj) in enumerate(shifts):
+            sd = pdata[di:di + H, dj:dj + W]
+            hs = hit[..., s * C:(s + 1) * C]
+            nbr_k = nbr_k + jnp.sum(
+                jnp.where(hs[..., None], sd, 0), axis=2)
+        nbrs.append(nbr_k)
         valids.append(bd < big)
         dists.append(jnp.where(bd < big, bd, jnp.inf))
         d2 = jnp.where(hit, big, d2)

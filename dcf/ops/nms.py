@@ -85,8 +85,14 @@ def rotated_nms(boxes_bev: jnp.ndarray, scores: jnp.ndarray,
     live = jnp.where(valid, scores.astype(jnp.float32), neg_inf)
     areas = boxes_bev[:, 2] * boxes_bev[:, 3]
 
-    def body(i, state):
-        live, keep_idx, keep_ok = state
+    def cond(state):
+        i, live, keep_idx, keep_ok = state
+        # early exit once every remaining candidate is suppressed --
+        # typical scenes keep far fewer than max_out boxes per class
+        return (i < max_out) & (jnp.max(live) > neg_inf)
+
+    def body(state):
+        i, live, keep_idx, keep_ok = state
         best = jnp.argmax(live).astype(jnp.int32)
         ok = live[best] > neg_inf
         keep_idx = keep_idx.at[i].set(best)
@@ -98,10 +104,10 @@ def rotated_nms(boxes_bev: jnp.ndarray, scores: jnp.ndarray,
         iou = inter / jnp.maximum(union, 1e-9)
         kill = (iou > iou_threshold) | (jnp.arange(K) == best)
         live = jnp.where(ok & kill, neg_inf, live)
-        return live, keep_idx, keep_ok
+        return i + 1, live, keep_idx, keep_ok
 
-    _, keep_idx, keep_ok = jax.lax.fori_loop(
-        0, max_out, body,
-        (live, jnp.zeros((max_out,), jnp.int32),
+    _, _, keep_idx, keep_ok = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), live, jnp.zeros((max_out,), jnp.int32),
          jnp.zeros((max_out,), bool)))
     return keep_idx, keep_ok
