@@ -135,7 +135,7 @@ class HeadConfig:
 
     head_channels: int = 128
     num_convs: int = 2
-    pre_nms_top_k: int = 512      # score prefilter before rotated NMS
+    pre_nms_top_k: int = 256      # score prefilter before rotated NMS
     nms_max_per_class: int = 64   # greedy NMS rounds per class
     nms_iou_threshold: float = 0.25
     score_threshold: float = 0.05

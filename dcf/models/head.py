@@ -91,7 +91,7 @@ def decode_and_nms(flat: Dict[str, jnp.ndarray], anchors: jnp.ndarray,
             opp = (boxes[:, 6] > 0) != (dir_label == 1)
             yaw = jnp.where(opp, boxes[:, 6] + jnp.pi, boxes[:, 6])
             yaw = jnp.mod(yaw + jnp.pi, 2 * jnp.pi) - jnp.pi
-            boxes = boxes.at[:, 6].set(yaw)
+            boxes = jnp.concatenate([boxes[:, :6], yaw[:, None]], axis=-1)
 
         k = min(cfg.head.pre_nms_top_k, scores.shape[0])
         C = cfg.num_classes
