@@ -36,13 +36,20 @@ def build_loss_fn(cfg: Config, model: ContFuseDetector):
     dcf.models.anchors.anchor_pack).
     """
 
+    from dcf.models.anchors import anchor_grid_shape
+    grid_shape = anchor_grid_shape(cfg)
+    grid_origin = (cfg.voxel.x_min, cfg.voxel.y_min)
+    grid_cell = cfg.voxel.voxel_size * cfg.backbone.head_stride
+
     def loss_fn(params, batch, pack):
         preds = model.apply(params, batch)
         flat = flatten_predictions(preds, cfg)
         targets = assign_targets_batch(
             pack["boxes"], pack["classes"], pack["matched_thr"],
             pack["unmatched_thr"],
-            batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
+            batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
+            grid_shape=grid_shape, grid_origin=grid_origin,
+            grid_cell=grid_cell)
         return detection_loss(flat, targets, cfg.loss)
 
     return loss_fn

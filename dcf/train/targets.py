@@ -2,20 +2,27 @@
 
 The reference class assigns targets on the host inside DataLoader workers
 (SURVEY.md 3.1 hot loop #2). Here assignment is pure jnp running *inside*
-the jitted train step: rotated-BEV IoU between the static anchor grid and
-the (padded, masked) gt boxes, scanned over gt slots to bound memory
-(N_anchors x 8-vertex polygon buffers per scan step, SURVEY.md hard-parts).
+the jitted train step.
 
 Matching rule (SECOND-lineage, per-class thresholds):
   positive: IoU >= matched_threshold[anchor]    (same-class gt only)
   negative: IoU <  unmatched_threshold[anchor]
   ignored:  in between (zero loss weight)
   plus force-matching: every valid gt claims its best-IoU anchor.
+
+TPU design: anchors live on a regular [Hd, Wd, A] grid, so a gt box can
+only overlap anchors inside a fixed window around its center (max
+relevant reach = half the gt diagonal + half the largest anchor diagonal
+~= 4.6 m << the 12.8 m window default). The scan over gt slots therefore
+clips rotated-IoU only inside a static [win, win, A] window
+(dynamic_slice in, elementwise max, dynamic_update_slice out) instead of
+against all Hd*Wd*A anchors -- 34x less polygon-clip work; the dense
+variant (assign_targets_dense) remains as the parity reference.
 """
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,58 +40,27 @@ class AnchorTargets(NamedTuple):
 
 
 def _iou_anchors_vs_one(anchors_bev, anchor_area, gt_bev):
-    """Rotated BEV IoU of all anchors vs a single gt box. [N, 5], [5] -> [N]."""
+    """Rotated BEV IoU of anchors vs a single gt box. [M, 5], [5] -> [M]."""
     inter = rotated_intersection_area(anchors_bev, gt_bev[None, :])
     area_gt = gt_bev[2] * gt_bev[3]
     return inter / jnp.maximum(anchor_area + area_gt - inter, 1e-9)
 
 
-def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
-                   matched_thr: jnp.ndarray, unmatched_thr: jnp.ndarray,
-                   gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
-                   gt_mask: jnp.ndarray) -> AnchorTargets:
-    """Single-frame target assignment.
-
-    Args:
-      anchors: [N, 7]; anchor_classes/matched_thr/unmatched_thr: [N].
-      gt_boxes: [G, 7] padded; gt_labels: [G]; gt_mask: [G] bool.
-    """
+def _finalize(anchors, matched_thr, unmatched_thr, gt_boxes,
+              best_iou, best_gt, gt_best_iou, gt_best_anchor, gt_mask):
+    """Shared tail: thresholds, force matching, encoding."""
     N = anchors.shape[0]
-    anchors_bev = anchors[:, [0, 1, 3, 4, 6]]
-    anchor_area = anchors[:, 3] * anchors[:, 4]
-
-    def step(carry, gt):
-        best_iou, best_gt = carry
-        gt_box, gt_label, gt_valid, gt_idx = gt
-        gt_bev = jnp.stack([gt_box[0], gt_box[1], gt_box[3], gt_box[4],
-                            gt_box[6]])
-        iou = _iou_anchors_vs_one(anchors_bev, anchor_area, gt_bev)
-        iou = jnp.where(gt_valid & (anchor_classes == gt_label), iou, 0.0)
-        better = iou > best_iou
-        best_iou = jnp.where(better, iou, best_iou)
-        best_gt = jnp.where(better, gt_idx, best_gt)
-        # best anchor for this gt (for force matching)
-        gt_best_iou = jnp.max(iou)
-        gt_best_anchor = jnp.argmax(iou)
-        return (best_iou, best_gt), (gt_best_iou, gt_best_anchor)
-
     G = gt_boxes.shape[0]
-    (best_iou, best_gt), (gt_best_iou, gt_best_anchor) = jax.lax.scan(
-        step,
-        (jnp.zeros((N,), jnp.float32), jnp.zeros((N,), jnp.int32)),
-        (gt_boxes, gt_labels, gt_mask, jnp.arange(G, dtype=jnp.int32)))
-
     pos = best_iou >= matched_thr
     neg = best_iou < unmatched_thr
 
     # Force matching: gt g claims anchor gt_best_anchor[g] if it found any
-    # overlap at all; later gts win scatter ties (same as sequential impls).
+    # overlap at all; scatter-max so an invalid gt can never clobber a
+    # valid forced match (ties resolve to the highest gt index).
     force_ok = gt_mask & (gt_best_iou > 1e-4)
     forced_pos = (jnp.zeros((N,), jnp.int32)
                   .at[gt_best_anchor].max(force_ok.astype(jnp.int32))
                   .astype(bool))
-    # scatter-max so an invalid gt can never clobber a valid forced match;
-    # ties resolve to the highest gt index (deterministic)
     forced_gt = (jnp.full((N,), -1, jnp.int32)
                  .at[gt_best_anchor]
                  .max(jnp.where(force_ok, jnp.arange(G, dtype=jnp.int32),
@@ -106,10 +82,127 @@ def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
                          dir_target, num_pos)
 
 
+def assign_targets_dense(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
+                         matched_thr: jnp.ndarray,
+                         unmatched_thr: jnp.ndarray,
+                         gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
+                         gt_mask: jnp.ndarray) -> AnchorTargets:
+    """Reference implementation: every gt against every anchor.
+
+    Args:
+      anchors: [N, 7]; anchor_classes/matched_thr/unmatched_thr: [N].
+      gt_boxes: [G, 7] padded; gt_labels: [G]; gt_mask: [G] bool.
+    """
+    N = anchors.shape[0]
+    anchors_bev = anchors[:, [0, 1, 3, 4, 6]]
+    anchor_area = anchors[:, 3] * anchors[:, 4]
+
+    def step(carry, gt):
+        best_iou, best_gt = carry
+        gt_box, gt_label, gt_valid, gt_idx = gt
+        gt_bev = jnp.stack([gt_box[0], gt_box[1], gt_box[3], gt_box[4],
+                            gt_box[6]])
+        iou = _iou_anchors_vs_one(anchors_bev, anchor_area, gt_bev)
+        iou = jnp.where(gt_valid & (anchor_classes == gt_label), iou, 0.0)
+        better = iou > best_iou
+        best_iou = jnp.where(better, iou, best_iou)
+        best_gt = jnp.where(better, gt_idx, best_gt)
+        return (best_iou, best_gt), (jnp.max(iou), jnp.argmax(iou))
+
+    G = gt_boxes.shape[0]
+    (best_iou, best_gt), (gt_best_iou, gt_best_anchor) = jax.lax.scan(
+        step,
+        (jnp.zeros((N,), jnp.float32), jnp.zeros((N,), jnp.int32)),
+        (gt_boxes, gt_labels, gt_mask, jnp.arange(G, dtype=jnp.int32)))
+    return _finalize(anchors, matched_thr, unmatched_thr, gt_boxes,
+                     best_iou, best_gt, gt_best_iou, gt_best_anchor,
+                     gt_mask)
+
+
+def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
+                   matched_thr: jnp.ndarray, unmatched_thr: jnp.ndarray,
+                   gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
+                   gt_mask: jnp.ndarray,
+                   grid_shape: Tuple[int, int, int] = None,
+                   grid_origin: Tuple[float, float] = None,
+                   grid_cell: float = None,
+                   window: int = 32) -> AnchorTargets:
+    """Windowed single-frame target assignment.
+
+    Args:
+      anchors: [N, 7] laid out as a [Hd, Wd, A] grid (dcf.models.anchors);
+      grid_shape/grid_origin/grid_cell: that grid's geometry. When omitted,
+      falls back to the dense reference implementation.
+    """
+    if grid_shape is None:
+        return assign_targets_dense(anchors, anchor_classes, matched_thr,
+                                    unmatched_thr, gt_boxes, gt_labels,
+                                    gt_mask)
+    Hd, Wd, A = grid_shape
+    N = anchors.shape[0]
+    G = gt_boxes.shape[0]
+    win = min(window, Hd, Wd)
+    M = win * win * A
+
+    grid_anchors = anchors.reshape(Hd, Wd, A, 7)
+    grid_classes = anchor_classes.reshape(Hd, Wd, A)
+
+    def step(carry, gt):
+        best_iou_g, best_gt_g = carry                   # [Hd, Wd, A] each
+        gt_box, gt_label, gt_valid, gt_idx = gt
+        # window origin (cells), clipped so the slice stays in bounds
+        oy = jnp.clip(((gt_box[0] - grid_origin[0]) / grid_cell)
+                      .astype(jnp.int32) - win // 2, 0, Hd - win)
+        ox = jnp.clip(((gt_box[1] - grid_origin[1]) / grid_cell)
+                      .astype(jnp.int32) - win // 2, 0, Wd - win)
+
+        w_anchors = jax.lax.dynamic_slice(
+            grid_anchors, (oy, ox, 0, 0), (win, win, A, 7)).reshape(M, 7)
+        w_classes = jax.lax.dynamic_slice(
+            grid_classes, (oy, ox, 0), (win, win, A)).reshape(M)
+        gt_bev = jnp.stack([gt_box[0], gt_box[1], gt_box[3], gt_box[4],
+                            gt_box[6]])
+        iou = _iou_anchors_vs_one(w_anchors[:, [0, 1, 3, 4, 6]],
+                                  w_anchors[:, 3] * w_anchors[:, 4],
+                                  gt_bev)
+        iou = jnp.where(gt_valid & (w_classes == gt_label), iou, 0.0)
+        iou_w = iou.reshape(win, win, A)
+
+        cur = jax.lax.dynamic_slice(best_iou_g, (oy, ox, 0), (win, win, A))
+        cur_gt = jax.lax.dynamic_slice(best_gt_g, (oy, ox, 0),
+                                       (win, win, A))
+        better = iou_w > cur
+        best_iou_g = jax.lax.dynamic_update_slice(
+            best_iou_g, jnp.where(better, iou_w, cur), (oy, ox, 0))
+        best_gt_g = jax.lax.dynamic_update_slice(
+            best_gt_g, jnp.where(better, gt_idx, cur_gt), (oy, ox, 0))
+
+        # best anchor for this gt, as a flat global index
+        flat = jnp.argmax(iou)
+        wy, rem = jnp.divmod(flat, win * A)
+        wx, wa = jnp.divmod(rem, A)
+        gidx = ((oy + wy) * Wd + (ox + wx)) * A + wa
+        return (best_iou_g, best_gt_g), (jnp.max(iou),
+                                         gidx.astype(jnp.int32))
+
+    init = (jnp.zeros((Hd, Wd, A), jnp.float32),
+            jnp.zeros((Hd, Wd, A), jnp.int32))
+    (best_iou_g, best_gt_g), (gt_best_iou, gt_best_anchor) = jax.lax.scan(
+        step, init,
+        (gt_boxes, gt_labels, gt_mask, jnp.arange(G, dtype=jnp.int32)))
+    return _finalize(anchors, matched_thr, unmatched_thr, gt_boxes,
+                     best_iou_g.reshape(N), best_gt_g.reshape(N),
+                     gt_best_iou, gt_best_anchor, gt_mask)
+
+
 def assign_targets_batch(anchors, anchor_classes, matched_thr, unmatched_thr,
-                         gt_boxes, gt_labels, gt_mask) -> AnchorTargets:
+                         gt_boxes, gt_labels, gt_mask,
+                         grid_shape=None, grid_origin=None, grid_cell=None,
+                         window: int = 32) -> AnchorTargets:
     """Batched over frames: gt_* have a leading batch dim."""
     return jax.vmap(
-        lambda b, l, m: assign_targets(anchors, anchor_classes, matched_thr,
-                                       unmatched_thr, b, l, m)
+        lambda b, l, m: assign_targets(
+            anchors, anchor_classes, matched_thr, unmatched_thr, b, l, m,
+            grid_shape=grid_shape, grid_origin=grid_origin,
+            grid_cell=grid_cell, window=window)
     )(gt_boxes, gt_labels, gt_mask)

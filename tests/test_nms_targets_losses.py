@@ -186,3 +186,44 @@ class TestLosses:
             lambda f: detection_loss(f, targets, LossConfig())[0])(flat)
         for g in jax.tree.leaves(grads):
             assert np.isfinite(np.asarray(g)).all()
+
+
+class TestWindowedAssignment:
+    def test_matches_dense(self, rng):
+        """Windowed assignment == dense assignment on a realistic grid."""
+        import jax.numpy as jnp
+        from dcf.config import tiny_config
+        from dcf.models.anchors import anchor_grid_shape, generate_anchors
+        from dcf.train.targets import assign_targets, assign_targets_dense
+        cfg = tiny_config()
+        anchors, classes, mt, ut = generate_anchors(cfg)
+        Hd, Wd, A = anchor_grid_shape(cfg)
+        G = 8
+        gt = np.zeros((G, 7), np.float32)
+        gt[:, 0] = rng.uniform(2, 23, G)
+        gt[:, 1] = rng.uniform(-11, 11, G)
+        gt[:, 2] = -1.0
+        gt[:, 3:6] = np.array([3.9, 1.6, 1.56]) * rng.uniform(0.8, 1.2,
+                                                              (G, 3))
+        gt[:, 6] = rng.uniform(-np.pi, np.pi, G)
+        labels = rng.integers(0, 3, G).astype(np.int32)
+        mask = rng.uniform(size=G) < 0.8
+
+        args = (jnp.asarray(anchors), jnp.asarray(classes),
+                jnp.asarray(mt), jnp.asarray(ut), jnp.asarray(gt),
+                jnp.asarray(labels), jnp.asarray(mask))
+        dense = assign_targets_dense(*args)
+        windowed = assign_targets(
+            *args, grid_shape=(Hd, Wd, A),
+            grid_origin=(cfg.voxel.x_min, cfg.voxel.y_min),
+            grid_cell=cfg.voxel.voxel_size * cfg.backbone.head_stride,
+            window=32)
+        np.testing.assert_array_equal(np.asarray(dense.cls_target),
+                                      np.asarray(windowed.cls_target))
+        np.testing.assert_array_equal(np.asarray(dense.cls_weight),
+                                      np.asarray(windowed.cls_weight))
+        np.testing.assert_allclose(np.asarray(dense.reg_target),
+                                   np.asarray(windowed.reg_target),
+                                   atol=1e-5)
+        assert float(dense.num_pos) == float(windowed.num_pos)
+        assert float(windowed.num_pos) > 0
