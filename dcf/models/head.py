@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from dcf.config import Config
 from dcf.geometry.boxes import decode_boxes
 from dcf.models.layers import ConvNorm
-from dcf.ops.nms import rotated_nms
+from dcf.ops.nms import rotated_nms_parallel
 
 
 class DetectionHead(nn.Module):
@@ -85,19 +85,9 @@ def decode_and_nms(flat: Dict[str, jnp.ndarray], anchors: jnp.ndarray,
 
     def one(cls_logits, reg, dir_logits):
         scores = jax.nn.sigmoid(cls_logits)                    # [N]
-        boxes = decode_boxes(reg, anchors)                     # [N, 7]
-        if use_dir:
-            dir_label = jnp.argmax(dir_logits, axis=-1)        # [N]
-            opp = (boxes[:, 6] > 0) != (dir_label == 1)
-            yaw = jnp.where(opp, boxes[:, 6] + jnp.pi, boxes[:, 6])
-            yaw = jnp.mod(yaw + jnp.pi, 2 * jnp.pi) - jnp.pi
-            boxes = jnp.concatenate([boxes[:, :6], yaw[:, None]], axis=-1)
-
         k = min(cfg.head.pre_nms_top_k, scores.shape[0])
         C = cfg.num_classes
         D = cfg.head.nms_max_per_class
-        # all classes processed in one vmapped NMS (a python loop would
-        # serialize C greedy while-loops on device)
         class_ids = jnp.arange(C, dtype=anchor_classes.dtype)
         cls_scores = jnp.where(anchor_classes[None, :] == class_ids[:, None],
                                scores[None, :], 0.0)          # [C, N]
@@ -106,11 +96,26 @@ def decode_and_nms(flat: Dict[str, jnp.ndarray], anchors: jnp.ndarray,
         # is more than enough (missed candidates are far below threshold)
         top_scores, top_idx = jax.lax.approx_max_k(
             cls_scores, k, recall_target=0.99)                 # [C, k]
-        top_boxes = boxes[top_idx]                             # [C, k, 7]
+
+        # decode only the C*k selected anchors -- decoding (and the yaw
+        # direction fixup) over all 200k anchors costs more than the
+        # entire NMS stage
+        sel_reg = reg[top_idx]                                 # [C, k, 7]
+        sel_anchors = anchors[top_idx]
+        top_boxes = decode_boxes(sel_reg, sel_anchors)
+        if use_dir:
+            dir_label = jnp.argmax(dir_logits[top_idx], axis=-1)
+            opp = (top_boxes[..., 6] > 0) != (dir_label == 1)
+            yaw = jnp.where(opp, top_boxes[..., 6] + jnp.pi,
+                            top_boxes[..., 6])
+            yaw = jnp.mod(yaw + jnp.pi, 2 * jnp.pi) - jnp.pi
+            top_boxes = jnp.concatenate(
+                [top_boxes[..., :6], yaw[..., None]], axis=-1)
+
         valid = top_scores > cfg.head.score_threshold
         keep_idx, keep_mask = jax.vmap(
-            lambda b, s, v: rotated_nms(b, s, v, cfg.head.nms_iou_threshold,
-                                        D)
+            lambda b, s, v: rotated_nms_parallel(
+                b, s, v, cfg.head.nms_iou_threshold, D)
         )(top_boxes[..., [0, 1, 3, 4, 6]], top_scores, valid)  # [C, D]
         boxes_cat = jnp.take_along_axis(
             top_boxes, keep_idx[..., None], axis=1).reshape(C * D, 7)

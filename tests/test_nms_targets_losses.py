@@ -227,3 +227,33 @@ class TestWindowedAssignment:
                                    atol=1e-5)
         assert float(dense.num_pos) == float(windowed.num_pos)
         assert float(windowed.num_pos) > 0
+
+
+class TestParallelNMS:
+    def test_matches_greedy(self, rng):
+        from dcf.ops.nms import rotated_nms_parallel
+        for trial in range(3):
+            n = 96
+            boxes = np.zeros((n, 5))
+            boxes[:, :2] = rng.uniform(-12, 12, (n, 2))
+            boxes[:, 2:4] = rng.uniform(1, 4, (n, 2))
+            boxes[:, 4] = rng.uniform(-3, 3, n)
+            scores = rng.uniform(0, 1, n).astype(np.float32)
+            valid = rng.uniform(size=n) < 0.9
+            want = [i for i in np_greedy_nms(boxes, scores, 0.3)
+                    if valid[i]]
+            # greedy over only valid boxes
+            want = []
+            suppressed = ~valid.copy()
+            for idx in np.argsort(-scores):
+                if suppressed[idx]:
+                    continue
+                want.append(idx)
+                iou = np_boxes.rotated_iou_bev(boxes[idx:idx + 1],
+                                               boxes)[0]
+                suppressed |= iou > 0.3
+            idx, keep = rotated_nms_parallel(
+                jnp.asarray(boxes, jnp.float32), jnp.asarray(scores),
+                jnp.asarray(valid), 0.3, 24)
+            got = list(np.asarray(idx)[np.asarray(keep)])
+            assert got == sorted(want, key=lambda i: -scores[i])[:len(got)]

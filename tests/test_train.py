@@ -129,3 +129,40 @@ class TestDataParallel:
         for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4)
+
+
+@pytest.mark.skipif(not os.environ.get("DCF_SLOW_TESTS"),
+                    reason="slow integration test (set DCF_SLOW_TESTS=1)")
+class TestOverfitIntegration:
+    def test_overfit_one_frame_reaches_full_ap(self):
+        """SURVEY.md 4.5: loss -> ~0 and AP -> 1.0 on a single frame."""
+        from dataclasses import replace
+        from dcf.data.synthetic import make_frame
+        from dcf.eval.evaluate import run_eval
+        cfg = tiny_config(with_fusion=True)
+        cfg = replace(cfg, train=replace(cfg.train, learning_rate=1e-3,
+                                         num_steps=400, warmup_steps=50))
+        frame = make_frame(seed=0)
+        batch = {k: jnp.asarray(v) for k, v in stack_examples(
+            [frame_to_example(frame, cfg)] * 2).items()}
+        model = ContFuseDetector(cfg)
+        params = jax.jit(model.init)(jax.random.key(0),
+                                     {k: v[:1] for k, v in batch.items()})
+        state = create_train_state(cfg, params)
+        pack = {k: jnp.asarray(v) for k, v in anchor_pack(cfg).items()}
+        step = jax.jit(make_train_step(cfg, model), donate_argnums=(0,))
+        for _ in range(400):
+            state, metrics = step(state, batch, pack)
+        assert float(metrics["loss"]) < 0.1
+
+        class DS:
+            def __len__(self):
+                return 1
+
+            def __getitem__(self, i):
+                return frame
+
+        res = run_eval(cfg, model, state.params, DS(), score_threshold=0.3)
+        assert res["Car_3d_moderate"] > 0.95
+        assert res["Pedestrian_3d_moderate"] > 0.95
+        assert res["Cyclist_3d_moderate"] > 0.95
