@@ -43,6 +43,12 @@ class VoxelConfig:
     voxel_size: float = 0.1
     z_slice_size: float = 0.2
     max_points: int = 24576  # static point capacity after ROI crop (pad/trunc)
+    # Pallas matmul-scatter rasterizer (TPU only). The jnp sorted-scatter
+    # is already ~1.6 ms and exact with no per-slab cap, so it stays the
+    # default; the kernel is its parity-tested drop-in (see
+    # dcf/ops/pallas/voxelize_kernel.py).
+    use_pallas: bool = False
+    pallas_slab_cap: int = 4096
 
     @property
     def grid_x(self) -> int:  # rows of the BEV image (forward axis)

@@ -44,8 +44,18 @@ class ContFuseDetector(nn.Module):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.backbone.dtype)
 
-        pseudo = rasterize_bev_batch(batch["points"], batch["point_mask"],
-                                     cfg.voxel)
+        import jax
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        if cfg.voxel.use_pallas and on_tpu:
+            from dcf.ops.pallas.voxelize_kernel import rasterize_bev_pallas
+            pseudo = jnp.stack([
+                rasterize_bev_pallas(batch["points"][b],
+                                     batch["point_mask"][b], cfg.voxel,
+                                     cap=cfg.voxel.pallas_slab_cap)
+                for b in range(batch["points"].shape[0])])
+        else:
+            pseudo = rasterize_bev_batch(batch["points"],
+                                         batch["point_mask"], cfg.voxel)
 
         img_feats = None
         if cfg.with_camera:
