@@ -38,9 +38,11 @@ class ConvNorm(nn.Module):
                     strides=(self.stride, self.stride), padding="SAME",
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
+        # bf16 GroupNorm: flax accumulates the moments in fp32 internally,
+        # and keeping the activation dtype avoids a full fp32 round-trip
+        # (two 36 MB copies per norm at the finest BEV scale)
         x = nn.GroupNorm(num_groups=_num_groups(self.features),
-                         dtype=jnp.float32)(x)
-        x = x.astype(self.dtype)
+                         dtype=self.dtype, param_dtype=jnp.float32)(x)
         if self.act is not None:
             x = self.act(x)
         return x

@@ -110,3 +110,38 @@ class TestForward:
         p2 = fwd(params, b2)
         assert not np.allclose(np.asarray(p1["cls"]), np.asarray(p2["cls"]),
                                atol=1e-6)
+
+
+class TestCapabilityConfigs:
+    """One forward per BASELINE.json config milestone (1/2/3 shapes)."""
+
+    def test_camera_branch_config(self):
+        """Config 2: ResNet image backbone feature extraction wired in."""
+        from dcf.config import tiny_config
+        import dataclasses
+        cfg = tiny_config(with_fusion=False)
+        cfg = dataclasses.replace(cfg, with_camera=True)
+        model = ContFuseDetector(cfg)
+        batch = {k: jnp.asarray(v) for k, v in stack_examples(
+            [frame_to_example(make_frame(seed=2), cfg)]).items()}
+        params = jax.jit(model.init)(jax.random.key(0), batch)
+        assert "image_backbone" in params["params"]
+        preds = jax.jit(model.apply)(params, batch)
+        assert np.isfinite(np.asarray(preds["cls"])).all()
+
+    def test_single_scale_fusion_config(self):
+        """Config 3: fusion at one scale only."""
+        import dataclasses
+        from dcf.config import tiny_config, BackboneConfig
+        cfg = tiny_config(with_fusion=True)
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone,
+                                              fusion_strides=(4,)))
+        model = ContFuseDetector(cfg)
+        batch = {k: jnp.asarray(v) for k, v in stack_examples(
+            [frame_to_example(make_frame(seed=3), cfg)]).items()}
+        params = jax.jit(model.init)(jax.random.key(0), batch)
+        names = list(params["params"].keys())
+        assert "fusion_s4" in names and "fusion_s2" not in names
+        preds = jax.jit(model.apply)(params, batch)
+        assert np.isfinite(np.asarray(preds["cls"])).all()
