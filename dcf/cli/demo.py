@@ -12,7 +12,6 @@ import argparse
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dcf.cli.common import add_data_args, config_by_name, resolve_dataset
 

@@ -28,7 +28,7 @@ def main(argv=None) -> None:
     from dcf.train import checkpoint as ckpt
     from dcf.train.state import create_train_state
     from dcf.eval.evaluate import run_eval
-    from dcf.data.preprocess import frame_to_example, stack_examples
+    from dcf.data.preprocess import frame_to_example
 
     ckpt_dir = os.path.join(args.workdir, "checkpoints")
     cfg = ckpt.load_config(ckpt_dir)

@@ -16,7 +16,6 @@ import numpy as np
 
 from dcf.data.kitti import (CLASS_NAMES, Frame, box7_to_camera_label)
 from dcf.geometry.transforms import Calibration
-from dcf.geometry import np_boxes
 
 # KITTI-plausible calibration constants
 _FU = 721.5377

@@ -13,7 +13,6 @@ from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dcf.config import Config
 from dcf.data.kitti import CLASS_NAMES, write_kitti_result

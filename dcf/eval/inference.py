@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 
 from dcf.config import Config
-from dcf.models.anchors import generate_anchors
 from dcf.models.detector import ContFuseDetector
 from dcf.models.head import decode_and_nms, flatten_predictions
 

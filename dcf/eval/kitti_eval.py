@@ -19,11 +19,10 @@ DontCare labels); for same-pipeline comparisons this is immaterial.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 
-from dcf.geometry import np_boxes
 
 CLASS_IOU_THRESHOLDS = {"Car": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
 CLASS_NAMES = ("Car", "Pedestrian", "Cyclist")

@@ -8,7 +8,7 @@ stride. NHWC, bf16 compute / fp32 params, compiled by XLA onto the MXU.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

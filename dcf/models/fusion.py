@@ -8,14 +8,14 @@ Per BEV pixel at each backbone scale (paper section 3.2, SURVEY.md 3.4):
   5. shared MLP, masked sum over K -> a BEV feature map added to the stream
 
 Steps 1-4 are parameter-free jnp vmapped per frame; the MLP is a shared
-Dense stack applied batched. `dcf.ops.pallas.fusion_kernel` provides the
-single fused TPU kernel per scale (BASELINE.json:5); this module is its
-jnp reference twin, selected by `use_pallas`.
+Dense stack applied batched. On TPU the KNN selection (the hot core) runs
+as the Pallas streaming kernel `dcf.ops.pallas.knn_kernel` (BASELINE.json:5,
+`fusion.use_pallas`); the jnp twin in dcf.ops.knn is the parity reference
+and the CPU path.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,7 @@ static top-K prefilter -> box decode -> on-device rotated NMS -> fixed-size
 from __future__ import annotations
 
 import math
-from typing import Dict, Tuple
+from typing import Dict
 
 import flax.linen as nn
 import jax

@@ -28,7 +28,6 @@ overflow beyond the static per-slab capacity is dropped.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ multi-chip dry run.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import numpy as np

@@ -9,7 +9,7 @@ checkpoint; the train loop resumes from any step (`--resume`).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

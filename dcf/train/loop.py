@@ -7,14 +7,12 @@ DP-sharded train step.
 
 from __future__ import annotations
 
-import json
 import os
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dcf.config import Config
 from dcf.data.loader import Loader, infinite_batches

@@ -22,7 +22,7 @@ variant (assign_targets_dense) remains as the parity reference.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

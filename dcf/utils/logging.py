@@ -8,7 +8,6 @@ importable. Nothing here touches the device.
 from __future__ import annotations
 
 import json
-import os
 from typing import Dict, Optional
 
 
