@@ -34,14 +34,14 @@ N_SMALL, N_BIG = 4, 24
 
 
 def main() -> None:
-    from dcf.config import multi_scale_config
+    from dcf.config import multi_scale_config, resolve_platform
     from dcf.data.preprocess import frame_to_example, stack_examples
     from dcf.data.synthetic import make_frame
     from dcf.eval.inference import make_inference_fn
     from dcf.models.anchors import anchor_pack
     from dcf.models.detector import ContFuseDetector
 
-    cfg = multi_scale_config()
+    cfg = resolve_platform(multi_scale_config())
     model = ContFuseDetector(cfg)
     ex = stack_examples([frame_to_example(make_frame(seed=0), cfg)])
     batch = {k: jnp.asarray(v) for k, v in ex.items()}

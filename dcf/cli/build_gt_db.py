@@ -17,6 +17,8 @@ def main(argv=None) -> None:
     p.add_argument("--min-points", type=int, default=8)
     add_data_args(p)
     args = p.parse_args(argv)
+    from dcf.cli.common import apply_platform
+    apply_platform(args)
 
     from dcf.data.augment import GTDatabase
     dataset = resolve_dataset(args)

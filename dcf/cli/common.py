@@ -18,7 +18,7 @@ CONFIGS = {
 
 
 def config_by_name(name: str) -> Config:
-    return CONFIGS[name]()
+    return cfgmod.resolve_platform(CONFIGS[name]())
 
 
 class SyntheticDataset:
@@ -42,6 +42,19 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--split", default="train")
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="use N synthetic frames instead of KITTI data")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a jax backend (the JAX_PLATFORMS env var "
+                        "is latched before CLI code runs when a site "
+                        "hook pre-registers a backend)")
+
+
+def apply_platform(args) -> None:
+    """Honor --platform before any jax computation happens."""
+    if getattr(args, "platform", None):
+        import jax
+        from jax.extend import backend as jax_ext_backend
+        jax.config.update("jax_platforms", args.platform)
+        jax_ext_backend.clear_backends()
 
 
 def resolve_dataset(args):

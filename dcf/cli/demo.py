@@ -24,6 +24,8 @@ def main(argv=None) -> None:
     p.add_argument("--viz", default=None, help="write a BEV png here")
     add_data_args(p)
     args = p.parse_args(argv)
+    from dcf.cli.common import apply_platform
+    apply_platform(args)
     if not args.synthetic and not args.data_root:
         args.synthetic = 1
 

@@ -23,6 +23,8 @@ def main(argv=None) -> None:
     p.add_argument("--score-threshold", type=float, default=None)
     add_data_args(p)
     args = p.parse_args(argv)
+    from dcf.cli.common import apply_platform
+    apply_platform(args)
 
     from dcf.models.detector import ContFuseDetector
     from dcf.train import checkpoint as ckpt

@@ -23,8 +23,12 @@ def main(argv=None) -> None:
                    help="gt-sampling database pickle (dcf.cli.build_gt_db)")
     p.add_argument("--data-shards", type=int, default=None,
                    help="data-parallel shards (default: all devices)")
+    p.add_argument("--debug", action="store_true",
+                   help="run the step under checkify (NaN/OOB checks)")
     add_data_args(p)
     args = p.parse_args(argv)
+    from dcf.cli.common import apply_platform
+    apply_platform(args)
 
     cfg = config_by_name(args.config)
     dataset = resolve_dataset(args)
@@ -35,7 +39,8 @@ def main(argv=None) -> None:
 
     from dcf.train.loop import train
     train(cfg, dataset, args.workdir, gt_db=gt_db, resume=args.resume,
-          num_steps=args.steps, num_data_shards=args.data_shards)
+          num_steps=args.steps, num_data_shards=args.data_shards,
+          debug=args.debug)
 
 
 if __name__ == "__main__":

@@ -109,9 +109,14 @@ class FusionConfig:
     bin_capacity: int = 8         # max points stored per BEV-scale bin
     search_radius_cells: int = 1  # 3x3 neighborhood search
     hidden_dim: int = 64          # MLP hidden width
-    # Pallas streaming-KNN kernel on TPU (jnp twin elsewhere / if False)
+    # Fused per-scale Pallas fusion kernel on TPU (jnp twin if False)
     use_pallas: bool = True
-    pallas_tile_rows: int = 32
+    pallas_tile_rows: int = 8     # BEV rows per kernel program (slab)
+    # z1-table rows DMA'd per slab at the finest fusion scale; coarser
+    # scales scale it by their stride ratio (their slabs span more rows).
+    # Overflow (a slab's point range exceeding the cap) drops those
+    # fusion pairs -- dcf.ops.pallas.fusion_kernel.slab_starts reports it.
+    z_slab_cap: int = 2048
     # Geometric feature channels fed to the MLP alongside image features:
     # (dx, dy) pixel-center offset + point z + bev distance.
     geo_channels: int = 4
@@ -253,6 +258,27 @@ def _coerce_field(field: dataclasses.Field, value: Any) -> Any:
     return value
 
 
+def resolve_platform(cfg: Config, platform: str = None) -> Config:
+    """Resolve kernel-selection flags for the backend we will run on.
+
+    Pallas kernels only compile on TPU; module bodies must not sniff
+    `jax.devices()` at trace time (mis-selects under multi-backend
+    processes and breaks CPU-driven AOT compiles), so selection happens
+    here, once, at setup time. Every entry point (CLI, bench, graft entry,
+    tiny_config for tests) routes its config through this.
+    """
+    if platform is None:
+        import jax
+        platform = jax.default_backend()
+    on_tpu = platform == "tpu"
+    return dataclasses.replace(
+        cfg,
+        voxel=dataclasses.replace(cfg.voxel,
+                                  use_pallas=cfg.voxel.use_pallas and on_tpu),
+        fusion=dataclasses.replace(
+            cfg.fusion, use_pallas=cfg.fusion.use_pallas and on_tpu))
+
+
 # --------------------------------------------------------------------------
 # BASELINE.json config milestones (/root/repo/BASELINE.json:7-11)
 # --------------------------------------------------------------------------
@@ -298,9 +324,9 @@ def tiny_config(with_fusion: bool = True) -> Config:
         fpn_channels=32, fusion_strides=(2, 4, 8, 16) if with_fusion else (4,))
     head = HeadConfig(head_channels=32, pre_nms_top_k=256, max_detections=32)
     fusion = FusionConfig(num_neighbors=2, bin_capacity=4, hidden_dim=16)
-    return Config(
+    return resolve_platform(Config(
         voxel=voxel, image=image, backbone=backbone, head=head, fusion=fusion,
         anchors=(CAR_ANCHOR, PED_ANCHOR, CYC_ANCHOR),
         augment=AugmentConfig(max_boxes=16),
         train=TrainConfig(batch_size=2, num_steps=10),
-        with_camera=with_fusion, with_fusion=with_fusion)
+        with_camera=with_fusion, with_fusion=with_fusion))

@@ -172,12 +172,27 @@ def gt_sample_frame(frame: Frame, db: GTDatabase, cfg: AugmentConfig,
     labels = np.concatenate([frame.labels,
                              np.asarray(new_labels, np.int32)])
     n_new = len(new_boxes)
+    # keep every per-object array of Frame parallel: pasted objects get
+    # neutral camera-frame label fields (ADVICE.md round 1 -- misaligned
+    # lengths would break any later per-box indexing of these fields)
+    aux = {}
+    for field, fill in (("truncated", np.zeros(n_new, np.float32)),
+                        ("occluded", np.zeros(n_new, np.int32)),
+                        ("alpha", np.zeros(n_new, np.float32))):
+        old = getattr(frame, field)
+        if old is not None:
+            aux[field] = np.concatenate([old, fill])
+    if frame.bbox2d is not None:
+        h, w = frame.image.shape[:2]
+        full = np.tile(np.array([[0.0, 0.0, w - 1.0, h - 1.0]],
+                                np.float32), (n_new, 1))
+        aux["bbox2d"] = np.concatenate([frame.bbox2d, full])
     return _with(
         frame, points=points.astype(np.float32),
         boxes=boxes.astype(np.float32), labels=labels,
         names=list(frame.names) + new_names,
         difficulty=np.concatenate([frame.difficulty,
-                                   np.zeros(n_new, np.int32)]))
+                                   np.zeros(n_new, np.int32)]), **aux)
 
 
 def augment_frame(frame: Frame, cfg: AugmentConfig,

@@ -48,8 +48,11 @@ class Loader:
 
     def _build_example(self, index: int, epoch: int) -> Dict[str, np.ndarray]:
         frame = self.dataset[index]
-        rng = np.random.default_rng(
-            (self.seed * 1_000_003 + epoch * 97 + index) % (2 ** 31))
+        # SeedSequence entropy list: collision-free across (seed, epoch,
+        # index) -- an arithmetic combination with a small epoch stride
+        # made most frames reuse another frame's augmentation stream in
+        # the next epoch (ADVICE.md round 1)
+        rng = np.random.default_rng([self.seed, epoch, index])
         if self.training:
             frame = augment_frame(
                 frame, self.cfg.augment, rng, db=self.gt_db,

@@ -112,6 +112,38 @@ def make_frame(frame_id: str = "000000",
                  alpha=np.zeros(len(boxes7), np.float32), bbox2d=bbox2d)
 
 
+def make_varied_frame(frame_id: str = "000000", seed: int = 0,
+                      max_objects: int = 8,
+                      n_ground: Optional[int] = None) -> Frame:
+    """A synthetic frame with seed-varied scene composition.
+
+    Unlike `make_frame` (fixed three-object layout, used by golden-fixture
+    tests), this draws the object count, classes, positions, yaws and
+    point density from the seed -- the distribution bench.py latency
+    percentiles and the train/held-out generalization split are measured
+    over. Objects are rejection-placed so boxes never overlap.
+    """
+    rng = np.random.default_rng([7, seed])
+    n_obj = int(rng.integers(1, max_objects + 1))
+    placed: List[Tuple[str, float, float, float]] = []
+    centers: List[Tuple[float, float]] = []
+    for _ in range(n_obj):
+        name = CLASS_NAMES[int(rng.integers(0, len(CLASS_NAMES)))]
+        for _attempt in range(10):
+            x = float(rng.uniform(6.0, 60.0))
+            y = float(rng.uniform(-0.75 * x, 0.75 * x))  # camera frustum
+            if all((x - cx) ** 2 + (y - cy) ** 2 > 6.0 ** 2
+                   for cx, cy in centers):
+                placed.append((name, x, y, float(rng.uniform(-np.pi, np.pi))))
+                centers.append((x, y))
+                break
+    if n_ground is None:
+        n_ground = int(rng.integers(4000, 18000))
+    return make_frame(frame_id=frame_id, boxes=placed, n_ground=n_ground,
+                      pts_per_box=int(rng.integers(120, 400)),
+                      seed=int(rng.integers(2 ** 31)))
+
+
 def write_kitti_tree(root: str, num_frames: int = 3,
                      split: str = "train") -> List[str]:
     """Materialize synthetic frames as an on-disk KITTI tree."""

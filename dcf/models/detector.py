@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from dcf.config import Config
 from dcf.data.voxelize import rasterize_bev_batch
 from dcf.models.bev_backbone import BEVFPN
-from dcf.models.fusion import ContinuousFusionLayer, image_stride_for
+from dcf.models.fusion import (ContinuousFusionLayer, image_stride_for,
+                               sort_points_for_fusion)
 from dcf.models.head import DetectionHead
 from dcf.models.layers import BasicBlock
 from dcf.models.resnet import ImageBackbone
@@ -44,9 +45,9 @@ class ContFuseDetector(nn.Module):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.backbone.dtype)
 
-        import jax
-        on_tpu = jax.devices()[0].platform not in ("cpu",)
-        if cfg.voxel.use_pallas and on_tpu:
+        # kernel selection is resolved at config time (dcf.config.
+        # resolve_platform) -- no trace-time platform sniffing here
+        if cfg.voxel.use_pallas:
             from dcf.ops.pallas.voxelize_kernel import rasterize_bev_pallas
             pseudo = jnp.stack([
                 rasterize_bev_pallas(batch["points"][b],
@@ -61,6 +62,13 @@ class ContFuseDetector(nn.Module):
         if cfg.with_camera:
             img_feats = ImageBackbone(cfg.backbone, name="image_backbone")(
                 batch["image"])
+
+        if cfg.with_fusion:
+            # one fine-grid sort shared by every fusion scale (row-slab
+            # contiguity for the fused kernel's z1 DMA; see fusion.py)
+            pts_f, mask_f, fine_row = sort_points_for_fusion(
+                batch["points"], batch["point_mask"], cfg.voxel,
+                min(cfg.backbone.fusion_strides))
 
         # no stride-1 stem: a full-resolution conv + norm over the
         # 704x800 grid costs ~2.5 ms for little accuracy benefit; stage 0
@@ -81,7 +89,7 @@ class ContFuseDetector(nn.Module):
                     cfg, out_channels=channels, bev_stride=stride,
                     image_stride=img_stride,
                     name=f"fusion_s{stride}")(
-                        batch["points"], batch["point_mask"],
+                        pts_f, mask_f, fine_row,
                         batch["velo_to_image"], img_feats[img_stride])
                 x = x + fused.astype(dtype)
             feats[stride] = x

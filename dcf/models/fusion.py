@@ -7,28 +7,78 @@ Per BEV pixel at each backbone scale (paper section 3.2, SURVEY.md 3.4):
   4. concat the 3D geometric offset (point - target pixel)
   5. shared MLP, masked sum over K -> a BEV feature map added to the stream
 
-Steps 1-4 are parameter-free jnp vmapped per frame; the MLP is a shared
-Dense stack applied batched. On TPU the KNN selection (the hot core) runs
-as the Pallas streaming kernel `dcf.ops.pallas.knn_kernel` (BASELINE.json:5,
-`fusion.use_pallas`); the jnp twin in dcf.ops.knn is the parity reference
-and the CPU path.
+TPU-native split (BASELINE.json:5 "fuse into single Pallas kernels at each
+backbone scale"): projection + bilinear gather + the image half of the
+first MLP layer are per-*point* (P rows, XLA — the convs feeding them are
+XLA too); KNN selection + the geometric half + relu + the masked K-sum are
+per-(pixel, neighbor) and run as ONE fused Pallas kernel per scale
+(dcf.ops.pallas.fusion_kernel) with a custom VJP for training. The jnp
+twin (`fused_fusion_reference`) is the parity reference and the CPU path.
+
+Points outside the camera frustum never contribute camera features, so
+they are filtered before binning — K-neighbor slots go to points the
+camera actually sees (both paths share this, keeping parity exact).
 """
 
 from __future__ import annotations
 
+from typing import Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from dcf.config import Config
+from dcf.config import Config, VoxelConfig
 from dcf.geometry.transforms import project_velo_to_image
 from dcf.ops.bilinear import bilinear_sample
-from dcf.ops.knn import bin_points_dense, knn_select_dense
+from dcf.ops.knn import bin_points_dense
+from dcf.ops.pallas.fusion_kernel import (_plane_geometry, fused_fusion,
+                                          fused_fusion_reference,
+                                          slab_starts)
+
+_ROW_SENTINEL = 1 << 20
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def sort_points_for_fusion(points: jnp.ndarray, mask: jnp.ndarray,
+                           vox: VoxelConfig, fine_stride: int
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sort each frame's points by fine-BEV-grid cell id (row-major).
+
+    Done ONCE per frame before the fusion layers: row-major order makes
+    the points of any row-slab — at any coarser fusion scale, since cells
+    nest — one contiguous index range, which is what lets the fused
+    kernel DMA a bounded z1-table slab instead of gathering rows
+    (dcf.ops.pallas.fusion_kernel).
+
+    Returns (points_sorted [B, P, 4], mask_sorted [B, P],
+    fine_row [B, P] int32 with a large sentinel for invalid points).
+    """
+    Hf = vox.grid_x // fine_stride
+    Wf = vox.grid_y // fine_stride
+    cell = vox.voxel_size * fine_stride
+
+    def one(pts, msk):
+        ix = jnp.floor((pts[:, 0] - vox.x_min) / cell).astype(jnp.int32)
+        iy = jnp.floor((pts[:, 1] - vox.y_min) / cell).astype(jnp.int32)
+        inb = msk & (ix >= 0) & (ix < Hf) & (iy >= 0) & (iy < Wf)
+        key = jnp.where(inb, ix * Wf + iy, Hf * Wf)
+        order = jnp.argsort(key)
+        fr = jnp.where(inb, ix, _ROW_SENTINEL)
+        return pts[order], msk[order], fr[order]
+
+    return jax.vmap(one)(points, mask)
 
 
 class ContinuousFusionLayer(nn.Module):
-    """One fusion layer at a fixed BEV stride / image stride pair."""
+    """One fusion layer at a fixed BEV stride / image stride pair.
+
+    Expects points pre-sorted by `sort_points_for_fusion` (the detector
+    does it once for all scales) along with their fine-grid rows.
+    """
 
     cfg: Config
     out_channels: int
@@ -37,11 +87,12 @@ class ContinuousFusionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, mask: jnp.ndarray,
-                 velo_to_image: jnp.ndarray, image_feat: jnp.ndarray
-                 ) -> jnp.ndarray:
+                 fine_row: jnp.ndarray, velo_to_image: jnp.ndarray,
+                 image_feat: jnp.ndarray) -> jnp.ndarray:
         """Args:
-          points: [B, P, 4] padded lidar points (x, y, z, intensity).
-          mask: [B, P] validity.
+          points: [B, P, 4] padded lidar points, fine-grid sorted.
+          mask: [B, P] validity (sorted order).
+          fine_row: [B, P] int32 fine-grid row per point (sorted order).
           velo_to_image: [B, 3, 4] combined projection matrices.
           image_feat: [B, Hf, Wf, C] image features at `image_stride`.
 
@@ -56,73 +107,73 @@ class ContinuousFusionLayer(nn.Module):
         cell = vox.voxel_size * self.bev_stride
         origin = (vox.x_min, vox.y_min)
         K = fus.num_neighbors
+        r = fus.search_radius_cells
         dtype = jnp.dtype(cfg.backbone.dtype)
+        B, P = points.shape[:2]
+        hid = fus.hidden_dim
 
         def prepare(pts, msk, proj, ifeat):
-            P = pts.shape[0]
-            # Image features are sampled once per *point* (P rows), not per
-            # (pixel, neighbor) pair (H*W*K rows, ~20x more): each point
-            # projects to a single image location, so the per-pair work
-            # reduces to a small-table row gather after KNN selection.
+            # Image features are sampled once per *point* (P rows), not
+            # per (pixel, neighbor) pair (H*W*K rows, ~20x more): each
+            # point projects to a single image location, so per-pair work
+            # reduces to the in-kernel one-hot selection after KNN.
             uvz = project_velo_to_image(pts[:, :3], proj)       # [P, 3]
             in_front = uvz[..., 2] > 0.1
             pfeat, inside = bilinear_sample(
                 ifeat, uvz[..., :2] / float(self.image_stride))  # [P, C]
-            img_ok = in_front & inside                           # [P]
+            img_ok = msk & in_front & inside                     # [P]
 
-            # bin payload: (x, y, z, point index as f32 -- exact to 2^24)
+            # bin payload: (x, y, z, sorted index as f32 — exact to 2^24)
             payload = jnp.concatenate(
                 [pts[:, :3],
                  jnp.arange(P, dtype=jnp.float32)[:, None]], axis=-1)
-            bins = bin_points_dense(payload, msk, origin, cell, (H, W),
+            bins = bin_points_dense(payload, img_ok, origin, cell, (H, W),
                                     fus.bin_capacity)
-            return bins, pfeat, img_ok
+            return bins, pfeat
 
-        bins, pfeat, img_ok = jax.vmap(prepare)(points, mask,
-                                                velo_to_image, image_feat)
+        bins, pfeat = jax.vmap(prepare)(points, mask,
+                                        velo_to_image, image_feat)
 
-        on_tpu = jax.devices()[0].platform not in ("cpu",)
-        if fus.use_pallas and on_tpu:
-            from dcf.ops.pallas.knn_kernel import knn_select_pallas
-            nbr, nvalid, d2 = knn_select_pallas(
-                bins, origin, cell, K, fus.search_radius_cells,
-                tile_rows=fus.pallas_tile_rows)      # [B, H, W, K, ...]
-        else:
-            nbr, nvalid, d2 = jax.vmap(
-                lambda b: knn_select_dense(b, origin, cell, K,
-                                           fus.search_radius_cells))(bins)
-        B = points.shape[0]
-        nbr = nbr.reshape(B, H * W, K, 4)
-        nvalid = nvalid.reshape(B, H * W, K)
-        d2 = d2.reshape(B, H * W, K)
-        idx = nbr[..., 3].astype(jnp.int32)                      # [B, HW, K]
-        valid = nvalid & jax.vmap(lambda o, i: o[i])(img_ok, idx)
-
-        rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-        cx = origin[0] + (rows.astype(jnp.float32) + 0.5) * cell
-        cy = origin[1] + (cols.astype(jnp.float32) + 0.5) * cell
-        cxy = jnp.stack([cx, cy], -1).reshape(1, H * W, 1, 2)
-        geo = jnp.concatenate(
-            [nbr[..., :2] - cxy, nbr[..., 2:3],
-             jnp.sqrt(jnp.minimum(d2, 1e6))[..., None]], axis=-1)
-        # The first MLP layer is split: its image-feature half is applied
-        # per *point* before the per-pair gather, so the gather moves
-        # hidden_dim-wide rows instead of C_img-wide ones (2-8x narrower at
-        # the coarse scales), and the geometric half is added per pair.
-        z1 = nn.Dense(fus.hidden_dim, use_bias=False, dtype=dtype,
+        # first-MLP-layer split: the image half is applied per point
+        # (before selection); the geometric half is applied per pair
+        # inside the kernel / twin
+        z1 = nn.Dense(hid, use_bias=False, dtype=jnp.bfloat16,
                       param_dtype=jnp.float32,
-                      name="img_proj")(pfeat.astype(dtype))   # [B, P, hid]
-        z1g = jax.vmap(lambda z, i: z[i])(z1, idx)            # [B, HW, K, h]
-        g1 = nn.Dense(fus.hidden_dim, dtype=dtype, param_dtype=jnp.float32,
-                      name="geo_proj")(geo.astype(dtype))
-        h = nn.relu(z1g + g1)
-        h = nn.Dense(self.out_channels, dtype=dtype,
-                     param_dtype=jnp.float32)(h)
-        h = jnp.where(valid[..., None], h, 0.0)
-        h = jnp.sum(h, axis=2)                               # over K
-        B = points.shape[0]
-        return h.reshape(B, H, W, self.out_channels)
+                      name="img_proj")(pfeat.astype(jnp.bfloat16))
+        wg = self.param("geo_kernel", nn.initializers.lecun_normal(),
+                        (4, hid), jnp.float32)
+        bg = self.param("geo_bias", nn.initializers.zeros_init(),
+                        (hid,), jnp.float32)
+        wgt = jnp.transpose(wg)                                # [hid, 4]
+        bg2 = bg[:, None]                                      # [hid, 1]
+
+        if fus.use_pallas:
+            ratio = self.bev_stride // min(cfg.backbone.fusion_strides)
+            capz = min(fus.z_slab_cap * ratio, _round_up(P, 128))
+            P_pad = max(_round_up(P, 128), capz)
+            TH, H_eff, _, _, _ = _plane_geometry(
+                H, W, r, fus.pallas_tile_rows)
+            NS = H_eff // TH
+            z1t = jnp.transpose(z1, (0, 2, 1))                 # [B, hid, P]
+            z1t = jnp.pad(z1t, ((0, 0), (0, 0), (0, P_pad - P)))
+            starts, _overflow = jax.vmap(
+                lambda fr: slab_starts(fr, NS, TH, r, ratio, capz,
+                                       P_pad))(fine_row)
+            acc = fused_fusion(bins, z1t, starts, wgt, bg2, origin, cell,
+                               K, radius_cells=r, tile_rows=TH, capz=capz)
+        else:
+            acc = fused_fusion_reference(bins, z1, wgt, bg2, origin, cell,
+                                         K, radius_cells=r)
+
+        # output layer: linear over the K-sum; the per-pair bias of the
+        # paper's MLP is count * bias (kernel's last channel)
+        wo = self.param("out_kernel", nn.initializers.lecun_normal(),
+                        (hid, self.out_channels), jnp.float32)
+        bo = self.param("out_bias", nn.initializers.zeros_init(),
+                        (self.out_channels,), jnp.float32)
+        h = (acc[..., :hid].astype(dtype) @ wo.astype(dtype)
+             + acc[..., hid:].astype(dtype) * bo.astype(dtype))
+        return h
 
 
 def image_stride_for(bev_stride: int, cfg: Config) -> int:

@@ -59,7 +59,7 @@ def greedy_select(iou: jnp.ndarray, scores: jnp.ndarray,
 def rotated_nms_parallel(boxes_bev: jnp.ndarray, scores: jnp.ndarray,
                          valid: jnp.ndarray, iou_threshold: float,
                          max_out: int,
-                         max_rounds: int = 32
+                         max_rounds: int = None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact greedy NMS computed as iterated independent sets.
 
@@ -72,9 +72,15 @@ def rotated_nms_parallel(boxes_bev: jnp.ndarray, scores: jnp.ndarray,
     Bit-identical to the greedy loop for distinct scores (ties break by
     index, matching argmax).
 
-    Args / returns: same contract as rotated_nms.
+    Args / returns: same contract as rotated_nms. max_rounds defaults to
+    K: every round keeps at least one live box (the top-scored live box
+    has no live dominator), so K rounds can never truncate a suppression
+    chain and the loop still exits early (via `cond`) in ~chain-depth
+    rounds -- the fixed cap exists only to bound the while_loop.
     """
     K = boxes_bev.shape[0]
+    if max_rounds is None:
+        max_rounds = K
     iou = rotated_iou_bev(boxes_bev, boxes_bev)
     s = scores.astype(jnp.float32)
     idx = jnp.arange(K)

@@ -65,3 +65,30 @@ def jit_train_step(train_step, mesh: Mesh):
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def jit_train_step_debug(train_step, mesh: Mesh):
+    """Debug twin of jit_train_step: the step runs under
+    `jax.experimental.checkify` (NaN / out-of-bounds / div-by-zero checks,
+    SURVEY.md section 5.2) and raises on the host with the failing check's
+    source location. Slower (extra error state + a per-step host fetch);
+    never used on the production path.
+    """
+    from jax.experimental import checkify
+
+    errors = (checkify.float_checks | checkify.index_checks
+              | checkify.user_checks | checkify.div_checks)
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    cstep = jax.jit(
+        checkify.checkify(train_step, errors=errors),
+        in_shardings=(rep, data, rep),
+        donate_argnums=(0,),
+    )
+
+    def step_and_throw(state, batch, pack):
+        err, out = cstep(state, batch, pack)
+        checkify.check_error(err)
+        return out
+
+    return step_and_throw

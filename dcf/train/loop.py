@@ -28,8 +28,12 @@ from dcf.utils.logging import MetricsLogger
 def train(cfg: Config, dataset, workdir: str,
           gt_db=None, resume: bool = False,
           num_steps: Optional[int] = None,
-          num_data_shards: Optional[int] = None) -> TrainState:
-    """Run (or resume) a training job. Returns the final state."""
+          num_data_shards: Optional[int] = None,
+          debug: bool = False) -> TrainState:
+    """Run (or resume) a training job. Returns the final state.
+
+    debug=True runs the step under checkify (NaN/OOB/div checks raise on
+    the host with source locations) -- slower, for debugging only."""
     os.makedirs(workdir, exist_ok=True)
     mesh = pmesh.make_mesh(num_data=num_data_shards)
     model = ContFuseDetector(cfg)
@@ -52,17 +56,24 @@ def train(cfg: Config, dataset, workdir: str,
     state = pmesh.replicate_state(state, mesh)
     pack = pmesh.replicate_state(
         {k: jnp.asarray(v) for k, v in anchor_pack(cfg).items()}, mesh)
-    step_fn = pmesh.jit_train_step(make_train_step(cfg, model), mesh)
+    jitter = (pmesh.jit_train_step_debug if debug
+              else pmesh.jit_train_step)
+    step_fn = jitter(make_train_step(cfg, model), mesh)
 
     logger = MetricsLogger(os.path.join(workdir, "metrics.jsonl"))
     total = num_steps if num_steps is not None else cfg.train.num_steps
     t0 = time.time()
     pending = first
-    while int(state.step) < total:
+    # host-side step counter: fetching the device scalar every iteration
+    # serializes a ~25 ms RPC against each step on tunneled backends;
+    # the device counter is only consulted once here (resume) and at
+    # checkpoint time
+    step = int(jax.device_get(state.step))
+    while step < total:
         batch = pmesh.shard_batch(pending, mesh)
         state, metrics = step_fn(state, batch, pack)
         pending = next(batches)
-        step = int(state.step)
+        step += 1
         if step % cfg.train.log_every == 0 or step == total:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             m["step"] = step

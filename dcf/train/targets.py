@@ -93,27 +93,24 @@ def assign_targets_dense(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
       anchors: [N, 7]; anchor_classes/matched_thr/unmatched_thr: [N].
       gt_boxes: [G, 7] padded; gt_labels: [G]; gt_mask: [G] bool.
     """
-    N = anchors.shape[0]
     anchors_bev = anchors[:, [0, 1, 3, 4, 6]]
     anchor_area = anchors[:, 3] * anchors[:, 4]
 
-    def step(carry, gt):
-        best_iou, best_gt = carry
-        gt_box, gt_label, gt_valid, gt_idx = gt
+    def one_gt(gt_box, gt_label, gt_valid):
         gt_bev = jnp.stack([gt_box[0], gt_box[1], gt_box[3], gt_box[4],
                             gt_box[6]])
         iou = _iou_anchors_vs_one(anchors_bev, anchor_area, gt_bev)
-        iou = jnp.where(gt_valid & (anchor_classes == gt_label), iou, 0.0)
-        better = iou > best_iou
-        best_iou = jnp.where(better, iou, best_iou)
-        best_gt = jnp.where(better, gt_idx, best_gt)
-        return (best_iou, best_gt), (jnp.max(iou), jnp.argmax(iou))
+        return jnp.where(gt_valid & (anchor_classes == gt_label), iou, 0.0)
 
-    G = gt_boxes.shape[0]
-    (best_iou, best_gt), (gt_best_iou, gt_best_anchor) = jax.lax.scan(
-        step,
-        (jnp.zeros((N,), jnp.float32), jnp.zeros((N,), jnp.int32)),
-        (gt_boxes, gt_labels, gt_mask, jnp.arange(G, dtype=jnp.int32)))
+    # one batched polygon-clip call over all gts; the merge is pure max /
+    # argmax (argmax returns the first maximum, matching "first gt wins
+    # ties"). Computing per-gt IoU the same vmapped way as the windowed
+    # variant keeps the two bitwise comparable.
+    iou_all = jax.vmap(one_gt)(gt_boxes, gt_labels, gt_mask)    # [G, N]
+    best_iou = jnp.max(iou_all, axis=0)
+    best_gt = jnp.argmax(iou_all, axis=0).astype(jnp.int32)
+    gt_best_iou = jnp.max(iou_all, axis=1)
+    gt_best_anchor = jnp.argmax(iou_all, axis=1).astype(jnp.int32)
     return _finalize(anchors, matched_thr, unmatched_thr, gt_boxes,
                      best_iou, best_gt, gt_best_iou, gt_best_anchor,
                      gt_mask)
@@ -147,49 +144,64 @@ def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
     grid_anchors = anchors.reshape(Hd, Wd, A, 7)
     grid_classes = anchor_classes.reshape(Hd, Wd, A)
 
-    def step(carry, gt):
-        best_iou_g, best_gt_g = carry                   # [Hd, Wd, A] each
-        gt_box, gt_label, gt_valid, gt_idx = gt
-        # window origin (cells), clipped so the slice stays in bounds
-        oy = jnp.clip(((gt_box[0] - grid_origin[0]) / grid_cell)
-                      .astype(jnp.int32) - win // 2, 0, Hd - win)
-        ox = jnp.clip(((gt_box[1] - grid_origin[1]) / grid_cell)
-                      .astype(jnp.int32) - win // 2, 0, Wd - win)
+    # window origins (cells), clipped so every slice stays in bounds
+    oy = jnp.clip(((gt_boxes[:, 0] - grid_origin[0]) / grid_cell)
+                  .astype(jnp.int32) - win // 2, 0, Hd - win)       # [G]
+    ox = jnp.clip(((gt_boxes[:, 1] - grid_origin[1]) / grid_cell)
+                  .astype(jnp.int32) - win // 2, 0, Wd - win)
 
-        w_anchors = jax.lax.dynamic_slice(
-            grid_anchors, (oy, ox, 0, 0), (win, win, A, 7)).reshape(M, 7)
-        w_classes = jax.lax.dynamic_slice(
-            grid_classes, (oy, ox, 0), (win, win, A)).reshape(M)
-        gt_bev = jnp.stack([gt_box[0], gt_box[1], gt_box[3], gt_box[4],
-                            gt_box[6]])
-        iou = _iou_anchors_vs_one(w_anchors[:, [0, 1, 3, 4, 6]],
-                                  w_anchors[:, 3] * w_anchors[:, 4],
-                                  gt_bev)
-        iou = jnp.where(gt_valid & (w_classes == gt_label), iou, 0.0)
-        iou_w = iou.reshape(win, win, A)
+    # All G window-IoU computations run in ONE batched polygon-clip call
+    # (the expensive part); a scan over gts paid ~0.5 ms of tiny-kernel
+    # launches *per gt* for the same total clip work. The clip runs on a
+    # FLAT [G*M] pair axis: a [G, M, verts, 2] corner tensor inside a
+    # vmapped clip trips an XLA:TPU fusion-pass CHECK (fusion_util
+    # TransformWindow "Loop will not make progress") when fused into the
+    # surrounding train step.
+    def gather_window(o_y, o_x):
+        wa = jax.lax.dynamic_slice(
+            grid_anchors, (o_y, o_x, 0, 0), (win, win, A, 7)).reshape(M, 7)
+        wc = jax.lax.dynamic_slice(
+            grid_classes, (o_y, o_x, 0), (win, win, A)).reshape(M)
+        return wa, wc
 
-        cur = jax.lax.dynamic_slice(best_iou_g, (oy, ox, 0), (win, win, A))
-        cur_gt = jax.lax.dynamic_slice(best_gt_g, (oy, ox, 0),
-                                       (win, win, A))
-        better = iou_w > cur
+    w_anchors, w_classes = jax.vmap(gather_window)(oy, ox)  # [G,M,7],[G,M]
+    flat_a = w_anchors.reshape(G * M, 7)
+    a_bev = flat_a[:, [0, 1, 3, 4, 6]]
+    a_area = flat_a[:, 3] * flat_a[:, 4]
+    gt_bev = gt_boxes[:, [0, 1, 3, 4, 6]]                    # [G, 5]
+    g_bev = jnp.broadcast_to(gt_bev[:, None, :],
+                             (G, M, 5)).reshape(G * M, 5)
+    inter = rotated_intersection_area(a_bev, g_bev)          # [G*M]
+    g_area = g_bev[:, 2] * g_bev[:, 3]
+    iou_flat = inter / jnp.maximum(a_area + g_area - inter, 1e-9)
+    keep = (gt_mask[:, None] & (w_classes == gt_labels[:, None]))
+    iou_all = jnp.where(keep, iou_flat.reshape(G, M), 0.0)   # [G, M]
+
+    # per-gt best anchor (force matching), fully parallel
+    flat = jnp.argmax(iou_all, axis=1)                           # [G]
+    wy, rem = jnp.divmod(flat, win * A)
+    wx, wa = jnp.divmod(rem, A)
+    gt_best_anchor = (((oy + wy) * Wd + (ox + wx)) * A + wa).astype(
+        jnp.int32)
+    gt_best_iou = jnp.max(iou_all, axis=1)
+
+    # Sequential max-merge of the windows into the global grid, unrolled:
+    # each step is two cheap dynamic slices + updates (no clip work), and
+    # unrolling avoids per-iteration loop overhead. Merge order ascending
+    # g with strict `>` keeps tie semantics identical to the dense
+    # reference (first gt wins ties).
+    iou_w = iou_all.reshape(G, win, win, A)
+    best_iou_g = jnp.zeros((Hd, Wd, A), jnp.float32)
+    best_gt_g = jnp.zeros((Hd, Wd, A), jnp.int32)
+    for g in range(G):
+        start = (oy[g], ox[g], 0)
+        cur = jax.lax.dynamic_slice(best_iou_g, start, (win, win, A))
+        cur_gt = jax.lax.dynamic_slice(best_gt_g, start, (win, win, A))
+        better = iou_w[g] > cur
         best_iou_g = jax.lax.dynamic_update_slice(
-            best_iou_g, jnp.where(better, iou_w, cur), (oy, ox, 0))
+            best_iou_g, jnp.where(better, iou_w[g], cur), start)
         best_gt_g = jax.lax.dynamic_update_slice(
-            best_gt_g, jnp.where(better, gt_idx, cur_gt), (oy, ox, 0))
-
-        # best anchor for this gt, as a flat global index
-        flat = jnp.argmax(iou)
-        wy, rem = jnp.divmod(flat, win * A)
-        wx, wa = jnp.divmod(rem, A)
-        gidx = ((oy + wy) * Wd + (ox + wx)) * A + wa
-        return (best_iou_g, best_gt_g), (jnp.max(iou),
-                                         gidx.astype(jnp.int32))
-
-    init = (jnp.zeros((Hd, Wd, A), jnp.float32),
-            jnp.zeros((Hd, Wd, A), jnp.int32))
-    (best_iou_g, best_gt_g), (gt_best_iou, gt_best_anchor) = jax.lax.scan(
-        step, init,
-        (gt_boxes, gt_labels, gt_mask, jnp.arange(G, dtype=jnp.int32)))
+            best_gt_g, jnp.where(better, g, cur_gt), start)
     return _finalize(anchors, matched_thr, unmatched_thr, gt_boxes,
                      best_iou_g.reshape(N), best_gt_g.reshape(N),
                      gt_best_iou, gt_best_anchor, gt_mask)

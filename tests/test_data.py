@@ -108,6 +108,28 @@ class TestGTSampling:
         assert not col.any()
         assert len(out.labels) == len(out.boxes) == len(out.names)
 
+    def test_paste_keeps_per_object_arrays_parallel(self):
+        frames = [synthetic.make_frame(seed=i) for i in range(3)]
+        db = GTDatabase.build(frames, min_points=5)
+        # varied frames: db object positions differ from the target
+        # frame's, so pastes actually happen (fixed-layout make_frame
+        # collides with itself and pastes nothing)
+        db = GTDatabase.build(
+            [synthetic.make_varied_frame(seed=i) for i in range(4)],
+            min_points=5)
+        frame = synthetic.make_varied_frame(seed=10)
+        cfg = tiny_config().augment
+        pasted_any = False
+        for seed in range(8):
+            out = gt_sample_frame(frame, db, cfg,
+                                  np.random.default_rng(seed))
+            n = len(out.boxes)
+            pasted_any |= n > len(frame.boxes)
+            for field in ("truncated", "occluded", "alpha", "bbox2d"):
+                if getattr(frame, field) is not None:
+                    assert len(getattr(out, field)) == n, (field, seed)
+        assert pasted_any
+
     def test_augment_frame_pipeline(self):
         frames = [synthetic.make_frame(seed=i) for i in range(2)]
         db = GTDatabase.build(frames, min_points=5)

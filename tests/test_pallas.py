@@ -4,8 +4,9 @@ Runs in interpret mode on the CPU test backend; the same kernels compile
 for real on TPU (exercised by bench/ and the flagship model path).
 """
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from dcf.ops.knn import bin_points_dense, knn_select_dense
@@ -47,6 +48,110 @@ class TestKnnKernel:
                                            tile_rows=8, interpret=True)
         assert not np.asarray(valid).any()
         assert np.isinf(np.asarray(d2)).all()
+
+
+class TestFusedFusionKernel:
+    """Fused per-scale fusion kernel vs its jnp twin, values + gradients."""
+
+    def _mk(self, seed, H=32, W=128, cap=4, K=2, hid=16, P=512):
+        from dcf.ops.pallas.fusion_kernel import slab_starts
+        rng = np.random.default_rng(seed)
+        # fine-grid-sorted points (sorted by row-major cell id)
+        pts = np.zeros((P, 4), np.float32)
+        pts[:, 0] = rng.uniform(-1, H + 1, P)
+        pts[:, 1] = rng.uniform(-1, W + 1, P)
+        pts[:, 2] = rng.uniform(-2, 2, P)
+        mask = rng.uniform(size=P) < 0.9
+        ix = np.floor(pts[:, 0]).astype(np.int64)
+        iy = np.floor(pts[:, 1]).astype(np.int64)
+        inb = mask & (ix >= 0) & (ix < H) & (iy >= 0) & (iy < W)
+        key = np.where(inb, ix * W + iy, H * W)
+        order = np.argsort(key, kind="stable")
+        pts, mask = pts[order], mask[order]
+        fine_row = np.where(inb, ix, 1 << 20)[order]
+        pts[:, 3] = np.arange(P)
+
+        bins = bin_points_dense(jnp.asarray(pts), jnp.asarray(mask),
+                                (0.0, 0.0), 1.0, (H, W), cap)
+        bbins = jax.tree.map(lambda x: x[None], bins)
+        z1 = jnp.asarray(rng.normal(size=(1, P, hid)), jnp.bfloat16)
+        wgt = jnp.asarray(rng.normal(size=(hid, 4)) * 0.3, jnp.float32)
+        bg = jnp.asarray(rng.normal(size=(hid, 1)) * 0.1, jnp.float32)
+        TH, capz = 8, 256
+        NS = (H + TH - 1) // TH
+        starts, overflow = slab_starts(jnp.asarray(fine_row), NS, TH, 1,
+                                       1, capz, P)
+        assert int(jnp.max(overflow)) == 0
+        return bbins, z1, starts[None], wgt, bg, (H, W, K, capz)
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_jnp_twin(self, seed):
+        import jax
+        from dcf.ops.pallas.fusion_kernel import (fused_fusion,
+                                                  fused_fusion_reference)
+        bbins, z1, starts, wgt, bg, (H, W, K, capz) = self._mk(seed)
+        ref = fused_fusion_reference(bbins, z1, wgt, bg, (0.0, 0.0), 1.0,
+                                     K, 1)
+        z1t = jnp.pad(jnp.transpose(z1, (0, 2, 1)),
+                      ((0, 0), (0, 0), (0, 0)))
+        got = fused_fusion(bbins, z1t, starts, wgt, bg, (0.0, 0.0), 1.0,
+                           K, radius_cells=1, tile_rows=8, capz=capz,
+                           interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        # count channel: integers in [0, K]
+        cnt = np.asarray(got)[..., -1]
+        assert cnt.max() <= K and cnt.min() >= 0
+        assert (cnt == np.round(cnt)).all()
+
+    def test_gradients_match_twin(self):
+        import jax
+        from dcf.ops.pallas.fusion_kernel import (fused_fusion,
+                                                  fused_fusion_reference)
+        bbins, z1, starts, wgt, bg, (H, W, K, capz) = self._mk(3)
+        probe = jnp.asarray(
+            np.random.default_rng(7).normal(size=(1, H, W, z1.shape[-1]
+                                                  + 1)), jnp.float32)
+
+        def loss_ref(z1f, wgt, bg):
+            out = fused_fusion_reference(bbins, z1f.astype(jnp.bfloat16),
+                                         wgt, bg, (0.0, 0.0), 1.0, K, 1)
+            return jnp.sum(out * probe)
+
+        def loss_ker(z1f, wgt, bg):
+            z1t = jnp.transpose(z1f.astype(jnp.bfloat16), (0, 2, 1))
+            out = fused_fusion(bbins, z1t, starts, wgt, bg, (0.0, 0.0),
+                               1.0, K, radius_cells=1, tile_rows=8,
+                               capz=capz, interpret=True)
+            return jnp.sum(out * probe)
+
+        z1f = z1.astype(jnp.float32)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(z1f, wgt, bg)
+        gk = jax.grad(loss_ker, argnums=(0, 1, 2))(z1f, wgt, bg)
+        # d_z1 runs through a bf16 MXU segment-sum in the kernel while the
+        # twin accumulates f32 -- tolerances are bf16-grade (the twin's
+        # own forward is bf16 too, so training sees the same noise floor)
+        for a, b, name in zip(gr, gk, ("z1", "wgt", "bg")):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(a, b, rtol=5e-2, atol=8e-2,
+                                       err_msg=name)
+            # and the overall direction/scale agree tightly
+            denom = np.linalg.norm(a.ravel()) * np.linalg.norm(b.ravel())
+            cos = float(np.dot(a.ravel(), b.ravel()) / max(denom, 1e-9))
+            assert cos > 0.999, (name, cos)
+
+    def test_empty_points(self):
+        from dcf.ops.pallas.fusion_kernel import fused_fusion
+        H, W, cap, K, hid, P = 8, 128, 2, 2, 16, 128
+        bins = bin_points_dense(jnp.zeros((P, 4)), jnp.zeros(P, bool),
+                                (0.0, 0.0), 1.0, (H, W), cap)
+        bbins = jax.tree.map(lambda x: x[None], bins)
+        z1t = jnp.zeros((1, hid, P), jnp.bfloat16)
+        out = fused_fusion(bbins, z1t, jnp.zeros((1, 1), jnp.int32),
+                           jnp.zeros((hid, 4)), jnp.zeros((hid, 1)),
+                           (0.0, 0.0), 1.0, K, radius_cells=1,
+                           tile_rows=8, capz=128, interpret=True)
+        assert not np.asarray(out).any()
 
 
 class TestVoxelizeKernel:
