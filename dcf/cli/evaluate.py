@@ -21,6 +21,10 @@ def main(argv=None) -> None:
     p.add_argument("--results-dir", default=None)
     p.add_argument("--num-frames", type=int, default=None)
     p.add_argument("--score-threshold", type=float, default=None)
+    p.add_argument("--num-points", type=int, default=40,
+                   help="40=R40 (official), 11=R11, 0=exact area-under-PR")
+    p.add_argument("--metrics", default="3d,bev",
+                   help="comma list of 3d/bev/bbox")
     add_data_args(p)
     args = p.parse_args(argv)
     from dcf.cli.common import apply_platform
@@ -51,7 +55,9 @@ def main(argv=None) -> None:
     results = run_eval(cfg, model, state.params, dataset,
                        result_dir=args.results_dir,
                        score_threshold=args.score_threshold,
-                       num_frames=args.num_frames)
+                       num_frames=args.num_frames,
+                       num_points=args.num_points,
+                       metrics=tuple(args.metrics.split(",")))
     print(json.dumps(results, indent=2))
 
 

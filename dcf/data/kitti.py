@@ -47,6 +47,9 @@ class Frame:
     occluded: Optional[np.ndarray] = None
     alpha: Optional[np.ndarray] = None
     bbox2d: Optional[np.ndarray] = None
+    # Unfiltered label-file parse (incl. DontCare / Van / Person_sitting),
+    # required by the devkit-faithful evaluator (dcf.eval.kitti_eval).
+    raw_labels: Optional[Dict[str, np.ndarray]] = None
 
 
 def camera_label_to_box7(location: np.ndarray, dims_hwl: np.ndarray,
@@ -198,6 +201,7 @@ class KittiDataset:
             occluded=label["occluded"][keep],
             alpha=label["alpha"][keep],
             bbox2d=label["bbox2d"][keep],
+            raw_labels=label,
         )
 
 

@@ -3,13 +3,13 @@
 Drives the jitted end-to-end inference function over every frame of a
 dataset, converts the padded device outputs into per-frame detection
 lists, optionally writes KITTI-format result txts, and computes 3D/BEV AP
-with the numpy evaluator.
+with the devkit-faithful numpy evaluator.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,8 @@ from dcf.config import Config
 from dcf.data.kitti import CLASS_NAMES, write_kitti_result
 from dcf.data.preprocess import frame_to_example, stack_examples
 from dcf.eval.inference import make_inference_fn
-from dcf.eval.kitti_eval import (FrameDetections, FrameGroundTruth, evaluate)
+from dcf.eval.kitti_eval import (Annotation, annotation_from_frame,
+                                 detection_annotation, evaluate_annotations)
 from dcf.models.anchors import anchor_pack
 from dcf.models.detector import ContFuseDetector
 
@@ -26,8 +27,15 @@ from dcf.models.detector import ContFuseDetector
 def run_eval(cfg: Config, model: ContFuseDetector, params, dataset,
              result_dir: Optional[str] = None,
              score_threshold: Optional[float] = None,
-             num_frames: Optional[int] = None) -> Dict[str, float]:
-    """Evaluate params over a dataset; returns the AP dict."""
+             num_frames: Optional[int] = None,
+             num_points: int = 40,
+             metrics: Sequence[str] = ("3d", "bev")) -> Dict[str, float]:
+    """Evaluate params over a dataset; returns the AP dict.
+
+    num_points: 40 = official R40, 11 = legacy R11, 0 = exact
+    area-under-PR (use for small synthetic splits, where the devkit's
+    41-point recall grid quantizes AP to ~k/41).
+    """
     infer = jax.jit(make_inference_fn(cfg, model))
     pack = {k: jnp.asarray(v) for k, v in anchor_pack(cfg).items()}
     thr = (score_threshold if score_threshold is not None
@@ -35,8 +43,8 @@ def run_eval(cfg: Config, model: ContFuseDetector, params, dataset,
     if result_dir:
         os.makedirs(result_dir, exist_ok=True)
 
-    gts: List[FrameGroundTruth] = []
-    dets: List[FrameDetections] = []
+    gts: List[Annotation] = []
+    dets: List[Annotation] = []
     n = len(dataset) if num_frames is None else min(num_frames, len(dataset))
     for i in range(n):
         frame = dataset[i]
@@ -47,11 +55,10 @@ def run_eval(cfg: Config, model: ContFuseDetector, params, dataset,
         boxes = out["boxes"][0][keep]
         scores = out["scores"][0][keep]
         classes = out["classes"][0][keep]
-        dets.append(FrameDetections(boxes7=boxes, scores=scores,
-                                    classes=classes))
-        gts.append(FrameGroundTruth(boxes7=frame.boxes,
-                                    classes=frame.labels,
-                                    difficulty=frame.difficulty))
+        dets.append(detection_annotation(
+            boxes, scores, classes, calib=frame.calib,
+            image_shape=frame.image.shape))
+        gts.append(annotation_from_frame(frame))
         if result_dir:
             names = [CLASS_NAMES[c] for c in classes]
             write_kitti_result(
@@ -59,7 +66,5 @@ def run_eval(cfg: Config, model: ContFuseDetector, params, dataset,
                 names, boxes, scores, frame.calib,
                 image_shape=frame.image.shape)
 
-    results = {}
-    results.update(evaluate(gts, dets, metric="3d"))
-    results.update(evaluate(gts, dets, metric="bev"))
-    return results
+    return evaluate_annotations(gts, dets, metrics=metrics,
+                                num_points=num_points)

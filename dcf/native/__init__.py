@@ -65,6 +65,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_double)]
+        lib.dcf_eval_statistics.restype = None
+        lib.dcf_eval_statistics.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double)]
         _lib = lib
         return _lib
 
@@ -119,6 +130,60 @@ def rotated_iou_bev(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
     out = np.empty((len(a), len(b)), np.float64)
     lib.dcf_rotated_iou_bev(_dptr(a), len(a), _dptr(b), len(b), _dptr(out))
     return out
+
+
+def eval_statistics(overlaps, dt_scores, ignored_gt, ignored_det,
+                    dc_overlap, min_overlap, thresholds,
+                    gt_alphas=None, dt_alphas=None, py_fallback=None):
+    """Devkit matching statistics at every threshold (see kitti_eval.py).
+
+    Returns (tp, fp, fn, sim) arrays of shape [len(thresholds)]. Uses the
+    C++ core when available; otherwise calls `py_fallback` (the parity
+    twin `_frame_statistics`) once per threshold.
+    """
+    thresholds = np.ascontiguousarray(thresholds, np.float64)
+    t = len(thresholds)
+    lib = get_lib()
+    if lib is None:
+        assert py_fallback is not None
+        tp = np.zeros(t, np.int32)
+        fp = np.zeros(t, np.int32)
+        fn = np.zeros(t, np.int32)
+        sim = np.zeros(t, np.float64)
+        for i, thr in enumerate(thresholds):
+            tp[i], fp[i], fn[i], sim[i] = py_fallback(
+                overlaps, dt_scores, ignored_gt, ignored_det, dc_overlap,
+                min_overlap, thr, gt_alphas=gt_alphas, dt_alphas=dt_alphas)
+        return tp, fp, fn, sim
+    overlaps = np.ascontiguousarray(overlaps, np.float64)
+    n_det, n_gt = overlaps.shape
+    dt_scores = np.ascontiguousarray(dt_scores, np.float64)
+    ignored_gt = np.ascontiguousarray(ignored_gt, np.int32)
+    ignored_det = np.ascontiguousarray(ignored_det, np.int32)
+    iptr = ctypes.POINTER(ctypes.c_int32)
+    if dc_overlap is not None and dc_overlap.size:
+        dc = np.ascontiguousarray(dc_overlap, np.float64)
+        dc_ptr, n_dc = _dptr(dc), dc.shape[1]
+    else:
+        dc_ptr, n_dc = None, 0
+    if gt_alphas is not None and dt_alphas is not None:
+        ga = np.ascontiguousarray(gt_alphas, np.float64)
+        da = np.ascontiguousarray(dt_alphas, np.float64)
+        ga_ptr, da_ptr = _dptr(ga), _dptr(da)
+    else:
+        ga_ptr = da_ptr = None
+    tp = np.zeros(t, np.int32)
+    fp = np.zeros(t, np.int32)
+    fn = np.zeros(t, np.int32)
+    sim = np.zeros(t, np.float64)
+    lib.dcf_eval_statistics(
+        _dptr(overlaps), n_det, n_gt, _dptr(dt_scores),
+        ignored_gt.ctypes.data_as(iptr), ignored_det.ctypes.data_as(iptr),
+        dc_ptr, n_dc, float(min_overlap), _dptr(thresholds), t,
+        ga_ptr, da_ptr,
+        tp.ctypes.data_as(iptr), fp.ctypes.data_as(iptr),
+        fn.ctypes.data_as(iptr), _dptr(sim))
+    return tp, fp, fn, sim
 
 
 def iou_3d(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:

@@ -2,7 +2,7 @@
 // reference stack's C++ layers -- PyTorch DataLoader workers, shapely/GEOS
 // rotated-geometry, numba-jitted eval kernels).
 //
-// Exposed через a plain C ABI and loaded with ctypes (no pybind11 in this
+// Exposed through a plain C ABI and loaded with ctypes (no pybind11 in this
 // image). Everything here is host-side data-path work: the TPU compute
 // path stays in XLA/Pallas.
 //
@@ -13,6 +13,7 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <vector>
 
 extern "C" {
 
@@ -153,6 +154,78 @@ void dcf_iou_3d(const double* boxes_a, int64_t n,
       }
       out[i * m + j] = iou;
     }
+  }
+}
+
+// Devkit-faithful per-frame matching statistics at every score threshold
+// (the inner loop of KITTI AP; see dcf/eval/kitti_eval.py for the
+// documented semantics and the parity-tested Python twin).
+//
+// overlaps:   [n_det, n_gt] row-major
+// ignored_gt: 0 counted, 1 ignored, -1 irrelevant
+// ignored_det: same codes (1 = below min 2D height)
+// dc_overlap: [n_det, n_dc] criterion-0 overlaps vs DontCare (may be null)
+// gt_alphas/dt_alphas: observation angles for AOS (may be null)
+// outputs tp/fp/fn/sim: [n_thresh]
+void dcf_eval_statistics(const double* overlaps, int64_t n_det, int64_t n_gt,
+                         const double* dt_scores, const int32_t* ignored_gt,
+                         const int32_t* ignored_det, const double* dc_overlap,
+                         int64_t n_dc, double min_overlap,
+                         const double* thresholds, int64_t n_thresh,
+                         const double* gt_alphas, const double* dt_alphas,
+                         int32_t* tp, int32_t* fp, int32_t* fn, double* sim) {
+  std::vector<uint8_t> assigned(static_cast<size_t>(n_det));
+  for (int64_t t = 0; t < n_thresh; ++t) {
+    const double thresh = thresholds[t];
+    std::fill(assigned.begin(), assigned.end(), 0);
+    int32_t tp_t = 0, fn_t = 0;
+    double sim_t = 0.0;
+    for (int64_t i = 0; i < n_gt; ++i) {
+      if (ignored_gt[i] == -1) continue;
+      int64_t det_idx = -1;
+      double max_overlap = 0.0;
+      bool found = false, assigned_ignored = false;
+      for (int64_t j = 0; j < n_det; ++j) {
+        if (ignored_det[j] == -1 || assigned[j] || dt_scores[j] < thresh)
+          continue;
+        const double ov = overlaps[j * n_gt + i];
+        if (ov <= min_overlap) continue;
+        if (ignored_det[j] == 0 && (ov > max_overlap || assigned_ignored)) {
+          max_overlap = ov;
+          det_idx = j;
+          found = true;
+          assigned_ignored = false;
+        } else if (ignored_det[j] == 1 && !found) {
+          det_idx = j;
+          found = true;
+          assigned_ignored = true;
+        }
+      }
+      if (!found && ignored_gt[i] == 0) {
+        ++fn_t;
+      } else if (found && (ignored_gt[i] == 1 || ignored_det[det_idx] == 1)) {
+        assigned[det_idx] = 1;
+      } else if (found) {
+        ++tp_t;
+        assigned[det_idx] = 1;
+        if (gt_alphas && dt_alphas)
+          sim_t += (1.0 + std::cos(gt_alphas[i] - dt_alphas[det_idx])) * 0.5;
+      }
+    }
+    int32_t fp_t = 0;
+    for (int64_t j = 0; j < n_det; ++j) {
+      if (assigned[j] || ignored_det[j] != 0 || dt_scores[j] < thresh)
+        continue;
+      bool in_dc = false;
+      for (int64_t k = 0; dc_overlap && k < n_dc; ++k) {
+        if (dc_overlap[j * n_dc + k] > min_overlap) { in_dc = true; break; }
+      }
+      if (!in_dc) ++fp_t;
+    }
+    tp[t] = tp_t;
+    fp[t] = fp_t;
+    fn[t] = fn_t;
+    sim[t] = sim_t;
   }
 }
 
