@@ -25,10 +25,20 @@ def main(argv=None) -> None:
                    help="data-parallel shards (default: all devices)")
     p.add_argument("--debug", action="store_true",
                    help="run the step under checkify (NaN/OOB checks)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host: coordinator address (or set "
+                        "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                        "JAX_PROCESS_ID; on TPU pods auto-detected)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     add_data_args(p)
     args = p.parse_args(argv)
     from dcf.cli.common import apply_platform
     apply_platform(args)
+    if args.coordinator or args.num_processes is not None:
+        from dcf.parallel.mesh import initialize_distributed
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
 
     cfg = config_by_name(args.config)
     dataset = resolve_dataset(args)

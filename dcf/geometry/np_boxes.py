@@ -29,8 +29,12 @@ def _clip_polygon(poly: np.ndarray, p1: np.ndarray, p2: np.ndarray):
     n = len(poly)
     for i in range(n):
         cur, prev = poly[i], poly[i - 1]
-        d_cur = np.cross(p2 - p1, cur - p1)
-        d_prev = np.cross(p2 - p1, prev - p1)
+        # 2-D cross product z-component (np.cross on 2-D vectors is
+        # deprecated in numpy 2.0)
+        e = p2 - p1
+        a, b = cur - p1, prev - p1
+        d_cur = e[0] * a[1] - e[1] * a[0]
+        d_prev = e[0] * b[1] - e[1] * b[0]
         if (d_cur >= 0) != (d_prev >= 0):
             t = d_prev / (d_prev - d_cur)
             out.append(prev + t * (cur - prev))

@@ -218,16 +218,26 @@ def _fwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref,
 
 def _bwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref, dacc_ref,
                 dz1_ref, dsmall_ref, scr, z1scr, sem_p, sem_z, *,
-                TH, TS, W, WP, C, K, r, HID, CAPZ, origin, cell_size):
+                TH, TS, W, WP, C, K, r, HID, CAPZ, CH, origin, cell_size):
+    # grid (B, NS, CAPZ // CH): the chunk axis bounds per-program VMEM.
+    # Every valid (pixel, neighbor) pair's z1 row lies in exactly one
+    # CH-row chunk of the slab window, so the chunks PARTITION the pairs:
+    # each program re-runs the (cheap) cascade, restricts to its own
+    # chunk's pairs, and computes that chunk's d_z1 plus its share of
+    # d_wg/d_bg with a chunk-sized z1 slab -- coarse scales (large capz =
+    # big slab coverage in fine rows) stay far under the 16 MB VMEM
+    # budget that a full-window [HID, capz] f32 accumulator + one-hot
+    # recompute blows through.
     b = pl.program_id(0)
     ti = pl.program_id(1)
+    ch = pl.program_id(2)
     start = starts_ref[b, ti]
     start = pl.multiple_of(start, 128)
 
     cp = pltpu.make_async_copy(
         planes_hbm.at[b, :, :, pl.ds(ti * TH, TS), :], scr, sem_p)
     cz = pltpu.make_async_copy(
-        z1t_hbm.at[b, :, pl.ds(start, CAPZ)], z1scr, sem_z)
+        z1t_hbm.at[b, :, pl.ds(start + ch * CH, CH)], z1scr, sem_z)
     cp.start()
     cz.start()
     cp.wait()
@@ -262,11 +272,13 @@ def _bwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref, dacc_ref,
                         p[f] = jnp.where(closer, top_p[k][f], p[f])
                         top_p[k][f] = new_f
 
-    iota_cz = jax.lax.broadcasted_iota(jnp.int32, (CAPZ, W), 0)
+    iota_ch = jax.lax.broadcasted_iota(jnp.int32, (CH, W), 0)
     cyr = origin[1] + (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
                        .astype(jnp.float32) + 0.5) * cell_size
-    startf = start.astype(jnp.float32)
-    dz1 = jnp.zeros((HID, CAPZ), jnp.float32)
+    # chunk-local index base: pairs outside [0, CH) belong to (and are
+    # handled by) a sibling chunk program
+    basef = (start + ch * CH).astype(jnp.float32)
+    dz1 = jnp.zeros((HID, CH), jnp.float32)
     dsm = [jnp.zeros((HID, 1), jnp.float32) for _ in range(5)]
     for rr in range(TH):
         da = dacc_ref[0, :, rr, :]                            # [HID, W]
@@ -275,10 +287,10 @@ def _bwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref, dacc_ref,
         for k in range(K):
             d_r = top_d[k][rr:rr + 1, :W]
             pairok = d_r < _BIG
-            lidx = top_p[k][3][rr:rr + 1, :W] - startf
-            ok = pairok & (lidx >= 0) & (lidx < CAPZ)
+            lidx = top_p[k][3][rr:rr + 1, :W] - basef
+            ok = pairok & (lidx >= 0) & (lidx < CH)
             key = jnp.where(ok, lidx, -1.0).astype(jnp.int32)
-            oh = (iota_cz == key).astype(jnp.bfloat16)        # [CAPZ, W]
+            oh = (iota_ch == key).astype(jnp.bfloat16)        # [CH, W]
             z1sel = jax.lax.dot_general(
                 z1scr[:], oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -297,14 +309,14 @@ def _bwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref, dacc_ref,
             dz1 = dz1 + jax.lax.dot_general(
                 dpre.astype(jnp.bfloat16), oh,
                 (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)           # [HID, CAPZ]
+                preferred_element_type=jnp.float32)           # [HID, CH]
             for f in range(4):
                 dsm[f] = dsm[f] + jnp.sum(dpre * geo[f], axis=1,
                                           keepdims=True)
             dsm[4] = dsm[4] + jnp.sum(dpre, axis=1, keepdims=True)
-    dz1_ref[0, 0] = dz1
+    dz1_ref[0, 0, 0] = dz1
     for f in range(5):
-        dsmall_ref[0, 0, :, f:f + 1] = dsm[f]
+        dsmall_ref[0, 0, 0, :, f:f + 1] = dsm[f]
 
 
 # --------------------------------------------------------------------------
@@ -362,45 +374,55 @@ def _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
 
 
 def _bwd_impl(planes, z1t, starts, wgt, bg, dacc, origin, cell_size, k,
-              radius_cells, tile_rows, capz, H, W, interpret):
+              radius_cells, tile_rows, capz, H, W, interpret,
+              bwd_chunk=4096):
     B, C, HID, TH, H_eff, TS, WP, NS = _sizes(planes, z1t, tile_rows,
                                               radius_cells, H, W)
+    CH = min(capz, bwd_chunk)
+    assert capz % CH == 0, (capz, CH)
+    NCH = capz // CH
     dacc = jnp.pad(dacc, ((0, 0), (0, 0), (0, H_eff - H), (0, 0)))
     kernel = functools.partial(
         _bwd_kernel, TH=TH, TS=TS, W=W, WP=WP, C=C, K=k, r=radius_cells,
-        HID=HID, CAPZ=capz, origin=origin, cell_size=cell_size)
+        HID=HID, CAPZ=capz, CH=CH, origin=origin, cell_size=cell_size)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, NS),
+        grid=(B, NS, NCH),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HID, TH, W), lambda b, i, *_: (b, 0, i, 0)),
+            pl.BlockSpec((1, HID, TH, W), lambda b, i, c, *_: (b, 0, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, HID, capz), lambda b, i, *_: (b, i, 0, 0)),
-            pl.BlockSpec((1, 1, HID, 128), lambda b, i, *_: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, HID, CH),
+                         lambda b, i, c, *_: (b, i, c, 0, 0)),
+            pl.BlockSpec((1, 1, 1, HID, 128),
+                         lambda b, i, c, *_: (b, i, c, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((_D + 1, C, TS, WP), jnp.float32),
-            pltpu.VMEM((HID, capz), jnp.bfloat16),
+            pltpu.VMEM((HID, CH), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    dz1_slabs, dsmall = pl.pallas_call(
+    dz1_chunks, dsmall = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, NS, HID, capz), jnp.float32),
-            jax.ShapeDtypeStruct((B, NS, HID, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, NS, NCH, HID, CH), jnp.float32),
+            jax.ShapeDtypeStruct((B, NS, NCH, HID, 128), jnp.float32),
         ],
         interpret=interpret,
     )(starts, planes, z1t, _pack_small(wgt, bg), dacc)
 
-    # combine per-slab d_z1 ranges (they overlap only in halo rows) into
-    # the full [B, HID, P_pad] cotangent with NS unrolled slice-adds
+    # chunks are contiguous along the slab window: [NCH, HID, CH] ->
+    # [HID, capz], then combine per-slab ranges (they overlap only in
+    # halo rows) into the full [B, HID, P_pad] cotangent with NS
+    # unrolled slice-adds
+    dz1_slabs = jnp.transpose(dz1_chunks, (0, 1, 3, 2, 4)).reshape(
+        B, NS, HID, capz)
     P_pad = z1t.shape[2]
     dz1t = jnp.zeros((B, HID, P_pad), jnp.float32)
 
@@ -413,33 +435,37 @@ def _bwd_impl(planes, z1t, starts, wgt, bg, dacc, origin, cell_size, k,
         return dz1t_b
 
     dz1t = jax.vmap(add_slab)(dz1t, dz1_slabs, starts)
-    small = jnp.sum(dsmall, axis=(0, 1))                      # [HID, 128]
+    # the chunks partition the pairs, so dsm sums across them
+    small = jnp.sum(dsmall, axis=(0, 1, 2))                   # [HID, 128]
     return dz1t.astype(z1t.dtype), small[:, 0:4], small[:, 4:5]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11,
-                                                    12, 13))
+                                                    12, 13, 14))
 def _fused_fusion_p(planes, z1t, starts, wgt, bg, origin, cell_size, k,
-                    radius_cells, tile_rows, capz, H, W, interpret):
+                    radius_cells, tile_rows, capz, H, W, interpret,
+                    bwd_chunk):
     return _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
                      radius_cells, tile_rows, capz, H, W, interpret)
 
 
 def _fused_fusion_fwd(planes, z1t, starts, wgt, bg, origin, cell_size, k,
-                      radius_cells, tile_rows, capz, H, W, interpret):
+                      radius_cells, tile_rows, capz, H, W, interpret,
+                      bwd_chunk):
     out = _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
                     radius_cells, tile_rows, capz, H, W, interpret)
     return out, (planes, z1t, starts, wgt, bg)
 
 
 def _fused_fusion_bwd(origin, cell_size, k, radius_cells, tile_rows, capz,
-                      H, W, interpret, res, g):
+                      H, W, interpret, bwd_chunk, res, g):
     planes, z1t, starts, wgt, bg = res
     # g: [B, HID+1, H, W]; the count channel's cotangent carries no
     # parameter dependence (count = sum of geometric masks)
     dz1t, dwgt, dbg = _bwd_impl(
         planes, z1t, starts, wgt, bg, g[:, :z1t.shape[1]], origin,
-        cell_size, k, radius_cells, tile_rows, capz, H, W, interpret)
+        cell_size, k, radius_cells, tile_rows, capz, H, W, interpret,
+        bwd_chunk)
     return (jnp.zeros_like(planes),
             dz1t,
             np.zeros(starts.shape, jax.dtypes.float0),
@@ -453,7 +479,8 @@ def fused_fusion(bins: DenseBins, z1t: jnp.ndarray, starts: jnp.ndarray,
                  wgt: jnp.ndarray, bg: jnp.ndarray,
                  origin: Tuple[float, float], cell_size: float, k: int,
                  radius_cells: int = 1, tile_rows: int = 8,
-                 capz: int = 2048, interpret: bool = False) -> jnp.ndarray:
+                 capz: int = 2048, interpret: bool = False,
+                 bwd_chunk: int = 4096) -> jnp.ndarray:
     """Fused per-scale continuous fusion (differentiable).
 
     Args:
@@ -474,7 +501,8 @@ def fused_fusion(bins: DenseBins, z1t: jnp.ndarray, starts: jnp.ndarray,
     planes = jax.lax.stop_gradient(build_planes(bins, radius_cells,
                                                 tile_rows))
     out = _fused_fusion_p(planes, z1t, starts, wgt, bg, origin, cell_size,
-                          k, radius_cells, tile_rows, capz, H, W, interpret)
+                          k, radius_cells, tile_rows, capz, H, W, interpret,
+                          bwd_chunk)
     return jnp.transpose(out, (0, 2, 3, 1))
 
 

@@ -147,7 +147,7 @@ def knn_select_pallas(bins: DenseBins, origin: Tuple[float, float],
     out = pl.pallas_call(
         kernel,
         grid=(B, H_eff // TH),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, D + 2, k, TH, W),
                                lambda b, i: (b, 0, 0, i, 0),
                                memory_space=pltpu.VMEM),

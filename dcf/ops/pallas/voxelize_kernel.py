@@ -145,7 +145,7 @@ def rasterize_bev_pallas(points: jnp.ndarray, mask: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_slabs,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((slab_rows * (nz + 1), gy),
                                lambda s, starts: (s, 0),
                                memory_space=pltpu.VMEM),

@@ -15,6 +15,7 @@ multi-chip dry run.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -22,9 +23,47 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """Multi-host entry point (SURVEY.md 2.5): join the global JAX runtime.
+
+    Call once per host process before any backend use; afterwards
+    `jax.devices()` spans every host's chips and `make_mesh()` builds the
+    global mesh, so the same `jit_train_step` shards across hosts with XLA
+    collectives riding ICI intra-slice and DCN across slices -- zero
+    framework code changes.
+
+    Arguments fall back to the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID), then to
+    TPU-pod auto-detection inside `jax.distributed.initialize` itself.
+    Returns True if the distributed service was (already) initialized,
+    False for the single-process fallback (no coordinator configured).
+    """
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:       # already initialized
+        return True
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return False                                # single process
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return True
+
+
 def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, model) mesh over the available devices."""
+    """Build a (data, model) mesh over the available devices.
+
+    After `initialize_distributed`, `jax.devices()` is global across
+    hosts, so the mesh (and every sharding derived from it) is too.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if num_data is None:
         num_data = len(devices) // num_model
@@ -42,8 +81,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    """Place a host batch on the mesh, sharded along the data axis."""
+    """Place a host batch on the mesh, sharded along the data axis.
+
+    Single-host: a plain sharded device_put. Multi-host (after
+    `initialize_distributed`): each host passes its *local* shard of the
+    global batch and the global array is assembled without cross-host
+    data movement (`jax.make_array_from_process_local_data`).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

@@ -25,6 +25,24 @@ from dcf.train.step import make_train_step
 from dcf.utils.logging import MetricsLogger
 
 
+class _ProcessShard:
+    """Dataset view restricted to this host's stride (multi-host DP): host
+    p of n sees frames p, p+n, p+2n, ... so hosts read disjoint data."""
+
+    def __init__(self, dataset, process_index: int, process_count: int):
+        self.dataset = dataset
+        self.offset = process_index
+        self.stride = process_count
+
+    def __len__(self) -> int:
+        return max((len(self.dataset) - self.offset + self.stride - 1)
+                   // self.stride, 1)
+
+    def __getitem__(self, i: int):
+        return self.dataset[(i * self.stride + self.offset)
+                            % len(self.dataset)]
+
+
 def train(cfg: Config, dataset, workdir: str,
           gt_db=None, resume: bool = False,
           num_steps: Optional[int] = None,
@@ -32,13 +50,22 @@ def train(cfg: Config, dataset, workdir: str,
           debug: bool = False) -> TrainState:
     """Run (or resume) a training job. Returns the final state.
 
+    Multi-host: call `dcf.parallel.mesh.initialize_distributed` first;
+    the mesh then spans every host's devices, each host loads a disjoint
+    stride of the dataset (global batch = cfg.train.batch_size x hosts),
+    and only process 0 writes checkpoints/logs.
+
     debug=True runs the step under checkify (NaN/OOB/div checks raise on
     the host with source locations) -- slower, for debugging only."""
+    is_main = jax.process_index() == 0
+    if jax.process_count() > 1:
+        dataset = _ProcessShard(dataset, jax.process_index(),
+                                jax.process_count())
     os.makedirs(workdir, exist_ok=True)
     mesh = pmesh.make_mesh(num_data=num_data_shards)
     model = ContFuseDetector(cfg)
     loader = Loader(dataset, cfg, training=True, gt_db=gt_db,
-                    seed=cfg.train.seed)
+                    seed=cfg.train.seed + jax.process_index())
 
     batches = infinite_batches(loader)
     first = next(batches)
@@ -74,14 +101,15 @@ def train(cfg: Config, dataset, workdir: str,
         state, metrics = step_fn(state, batch, pack)
         pending = next(batches)
         step += 1
-        if step % cfg.train.log_every == 0 or step == total:
+        if (step % cfg.train.log_every == 0 or step == total) and is_main:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             m["step"] = step
             m["steps_per_sec"] = cfg.train.log_every / max(
                 time.time() - t0, 1e-9)
             t0 = time.time()
             logger.log(m)
-        if step % cfg.train.checkpoint_every == 0 or step == total:
+        if (step % cfg.train.checkpoint_every == 0
+                or step == total) and is_main:
             path = ckpt.save_checkpoint(ckpt_dir, jax.device_get(state), cfg)
             print(f"saved {path}")
     return state

@@ -140,6 +140,36 @@ class TestFusedFusionKernel:
             cos = float(np.dot(a.ravel(), b.ravel()) / max(denom, 1e-9))
             assert cos > 0.999, (name, cos)
 
+    def test_chunked_backward_matches_unchunked(self):
+        """The VMEM-bounding chunk axis (grid dim 3, used when capz is
+        large at coarse strides) must not change any cotangent."""
+        import jax
+        from dcf.ops.pallas.fusion_kernel import fused_fusion
+        bbins, z1, starts, wgt, bg, (H, W, K, capz) = self._mk(5)
+        probe = jnp.asarray(
+            np.random.default_rng(11).normal(size=(1, H, W, z1.shape[-1]
+                                                   + 1)), jnp.float32)
+
+        def loss(z1f, wgt, bg, bwd_chunk):
+            z1t = jnp.transpose(z1f.astype(jnp.bfloat16), (0, 2, 1))
+            out = fused_fusion(bbins, z1t, starts, wgt, bg, (0.0, 0.0),
+                               1.0, K, radius_cells=1, tile_rows=8,
+                               capz=capz, interpret=True,
+                               bwd_chunk=bwd_chunk)
+            return jnp.sum(out * probe)
+
+        z1f = z1.astype(jnp.float32)
+        g_full = jax.grad(loss, argnums=(0, 1, 2))(z1f, wgt, bg, capz)
+        g_chunk = jax.grad(loss, argnums=(0, 1, 2))(z1f, wgt, bg, capz // 4)
+        # d_z1: every pair handled by exactly one chunk -> bit-identical
+        np.testing.assert_array_equal(np.asarray(g_full[0]),
+                                      np.asarray(g_chunk[0]), err_msg="z1")
+        # d_wg/d_bg: the chunks partition the pair sum (reordered float
+        # reduction only)
+        for a, b, name in zip(g_full[1:], g_chunk[1:], ("wgt", "bg")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)
+
     def test_empty_points(self):
         from dcf.ops.pallas.fusion_kernel import fused_fusion
         H, W, cap, K, hid, P = 8, 128, 2, 2, 16, 128

@@ -169,3 +169,24 @@ class TestOverfitIntegration:
         assert res["Car_3d_moderate"] > 0.95
         assert res["Pedestrian_3d_moderate"] > 0.95
         assert res["Cyclist_3d_moderate"] > 0.95
+
+
+class TestMultiHost:
+    def test_initialize_distributed_single_process_noop(self, monkeypatch):
+        # without a coordinator configured this must be a no-op fallback
+        for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                    "JAX_PROCESS_ID"):
+            monkeypatch.delenv(var, raising=False)
+        assert pmesh.initialize_distributed() is False
+        assert jax.process_count() == 1     # backend untouched
+
+    def test_process_shard_disjoint_and_covering(self):
+        from dcf.train.loop import _ProcessShard
+        data = list(range(10))
+        shards = [_ProcessShard(data, p, 3) for p in range(3)]
+        per_shard = [[s[i] for i in range(len(s))] for s in shards]
+        # strides are disjoint and together cover the dataset
+        assert per_shard[0] == [0, 3, 6, 9]
+        assert per_shard[1] == [1, 4, 7]
+        assert per_shard[2] == [2, 5, 8]
+        assert set().union(*map(set, per_shard)) == set(range(10))
