@@ -40,6 +40,11 @@ def build_loss_fn(cfg: Config, model: ContFuseDetector):
     grid_shape = anchor_grid_shape(cfg)
     grid_origin = (cfg.voxel.x_min, cfg.voxel.y_min)
     grid_cell = cfg.voxel.voxel_size * cfg.backbone.head_stride
+    # class-restricted assigner windows need equal per-class rotation
+    # counts (static; the anchor axis is class-major)
+    rot_counts = {len(a.rotations) for a in cfg.anchors}
+    per_class_anchors = (rot_counts.pop() if len(rot_counts) == 1
+                         else None)
 
     def loss_fn(params, batch, pack):
         preds = model.apply(params, batch)
@@ -49,7 +54,7 @@ def build_loss_fn(cfg: Config, model: ContFuseDetector):
             pack["unmatched_thr"],
             batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
             grid_shape=grid_shape, grid_origin=grid_origin,
-            grid_cell=grid_cell)
+            grid_cell=grid_cell, per_class_anchors=per_class_anchors)
         return detection_loss(flat, targets, cfg.loss)
 
     return loss_fn

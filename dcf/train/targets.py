@@ -123,13 +123,17 @@ def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
                    grid_shape: Tuple[int, int, int] = None,
                    grid_origin: Tuple[float, float] = None,
                    grid_cell: float = None,
-                   window: int = 32) -> AnchorTargets:
+                   window: int = 32,
+                   per_class_anchors: int = None) -> AnchorTargets:
     """Windowed single-frame target assignment.
 
     Args:
       anchors: [N, 7] laid out as a [Hd, Wd, A] grid (dcf.models.anchors);
       grid_shape/grid_origin/grid_cell: that grid's geometry. When omitted,
       falls back to the dense reference implementation.
+      per_class_anchors: static anchors-per-class count (A // num_classes)
+        when every class has the same rotation count; enables the
+        class-restricted window fast path.
     """
     if grid_shape is None:
         return assign_targets_dense(anchors, anchor_classes, matched_thr,
@@ -139,16 +143,29 @@ def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
     N = anchors.shape[0]
     G = gt_boxes.shape[0]
     win = min(window, Hd, Wd)
-    M = win * win * A
+
+    # A gt only matches same-class anchors (the IoU of every other pair is
+    # masked to zero), and the per-location anchor axis is class-major
+    # (dcf.models.anchors layout contract): slice each gt's window down to
+    # its OWN class's rotations with a dynamic class offset -- 3x less
+    # polygon-clip work for 3 classes, bit-identical results.
+    # per_class_anchors is static (from config, see make_train_step);
+    # None means classes have unequal rotation counts -> all-A windows.
+    per_class_equal = per_class_anchors is not None
+    Ay = per_class_anchors if per_class_equal else A
+    M = win * win * Ay
 
     grid_anchors = anchors.reshape(Hd, Wd, A, 7)
-    grid_classes = anchor_classes.reshape(Hd, Wd, A)
 
     # window origins (cells), clipped so every slice stays in bounds
     oy = jnp.clip(((gt_boxes[:, 0] - grid_origin[0]) / grid_cell)
                   .astype(jnp.int32) - win // 2, 0, Hd - win)       # [G]
     ox = jnp.clip(((gt_boxes[:, 1] - grid_origin[1]) / grid_cell)
                   .astype(jnp.int32) - win // 2, 0, Wd - win)
+    if per_class_equal:
+        cls_off = jnp.clip(gt_labels * Ay, 0, A - Ay)               # [G]
+    else:
+        cls_off = jnp.zeros((G,), jnp.int32)
 
     # All G window-IoU computations run in ONE batched polygon-clip call
     # (the expensive part); a scan over gts paid ~0.5 ms of tiny-kernel
@@ -157,15 +174,18 @@ def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
     # vmapped clip trips an XLA:TPU fusion-pass CHECK (fusion_util
     # TransformWindow "Loop will not make progress") when fused into the
     # surrounding train step.
-    def gather_window(o_y, o_x):
+    grid_classes = anchor_classes.reshape(Hd, Wd, A)
+
+    def gather_window(o_y, o_x, o_a):
         wa = jax.lax.dynamic_slice(
-            grid_anchors, (o_y, o_x, 0, 0), (win, win, A, 7)).reshape(M, 7)
+            grid_anchors, (o_y, o_x, o_a, 0),
+            (win, win, Ay, 7)).reshape(M, 7)
         wc = jax.lax.dynamic_slice(
-            grid_classes, (o_y, o_x, 0), (win, win, A)).reshape(M)
+            grid_classes, (o_y, o_x, o_a), (win, win, Ay)).reshape(M)
         return wa, wc
 
-    w_anchors, w_classes = jax.vmap(gather_window)(oy, ox)  # [G,M,7],[G,M]
-    flat_a = w_anchors.reshape(G * M, 7)
+    w_anchors, w_classes = jax.vmap(gather_window)(oy, ox, cls_off)
+    flat_a = w_anchors.reshape(G * M, 7)                     # [G*M, 7]
     a_bev = flat_a[:, [0, 1, 3, 4, 6]]
     a_area = flat_a[:, 3] * flat_a[:, 4]
     gt_bev = gt_boxes[:, [0, 1, 3, 4, 6]]                    # [G, 5]
@@ -174,15 +194,18 @@ def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
     inter = rotated_intersection_area(a_bev, g_bev)          # [G*M]
     g_area = g_bev[:, 2] * g_bev[:, 3]
     iou_flat = inter / jnp.maximum(a_area + g_area - inter, 1e-9)
-    keep = (gt_mask[:, None] & (w_classes == gt_labels[:, None]))
+    # class-restricted windows contain only same-class anchors, but
+    # cls_off clamping can leak neighbors for out-of-range labels, and the
+    # all-A fallback mixes classes -- mask in both cases (cheap)
+    keep = gt_mask[:, None] & (w_classes == gt_labels[:, None])
     iou_all = jnp.where(keep, iou_flat.reshape(G, M), 0.0)   # [G, M]
 
     # per-gt best anchor (force matching), fully parallel
     flat = jnp.argmax(iou_all, axis=1)                           # [G]
-    wy, rem = jnp.divmod(flat, win * A)
-    wx, wa = jnp.divmod(rem, A)
-    gt_best_anchor = (((oy + wy) * Wd + (ox + wx)) * A + wa).astype(
-        jnp.int32)
+    wy, rem = jnp.divmod(flat, win * Ay)
+    wx, wa = jnp.divmod(rem, Ay)
+    gt_best_anchor = (((oy + wy) * Wd + (ox + wx)) * A + cls_off
+                      + wa).astype(jnp.int32)
     gt_best_iou = jnp.max(iou_all, axis=1)
 
     # Sequential max-merge of the windows into the global grid, unrolled:
@@ -190,13 +213,13 @@ def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
     # unrolling avoids per-iteration loop overhead. Merge order ascending
     # g with strict `>` keeps tie semantics identical to the dense
     # reference (first gt wins ties).
-    iou_w = iou_all.reshape(G, win, win, A)
+    iou_w = iou_all.reshape(G, win, win, Ay)
     best_iou_g = jnp.zeros((Hd, Wd, A), jnp.float32)
     best_gt_g = jnp.zeros((Hd, Wd, A), jnp.int32)
     for g in range(G):
-        start = (oy[g], ox[g], 0)
-        cur = jax.lax.dynamic_slice(best_iou_g, start, (win, win, A))
-        cur_gt = jax.lax.dynamic_slice(best_gt_g, start, (win, win, A))
+        start = (oy[g], ox[g], cls_off[g])
+        cur = jax.lax.dynamic_slice(best_iou_g, start, (win, win, Ay))
+        cur_gt = jax.lax.dynamic_slice(best_gt_g, start, (win, win, Ay))
         better = iou_w[g] > cur
         best_iou_g = jax.lax.dynamic_update_slice(
             best_iou_g, jnp.where(better, iou_w[g], cur), start)
@@ -210,11 +233,13 @@ def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
 def assign_targets_batch(anchors, anchor_classes, matched_thr, unmatched_thr,
                          gt_boxes, gt_labels, gt_mask,
                          grid_shape=None, grid_origin=None, grid_cell=None,
-                         window: int = 32) -> AnchorTargets:
+                         window: int = 32,
+                         per_class_anchors: int = None) -> AnchorTargets:
     """Batched over frames: gt_* have a leading batch dim."""
     return jax.vmap(
         lambda b, l, m: assign_targets(
             anchors, anchor_classes, matched_thr, unmatched_thr, b, l, m,
             grid_shape=grid_shape, grid_origin=grid_origin,
-            grid_cell=grid_cell, window=window)
+            grid_cell=grid_cell, window=window,
+            per_class_anchors=per_class_anchors)
     )(gt_boxes, gt_labels, gt_mask)

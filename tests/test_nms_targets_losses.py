@@ -213,20 +213,24 @@ class TestWindowedAssignment:
                 jnp.asarray(mt), jnp.asarray(ut), jnp.asarray(gt),
                 jnp.asarray(labels), jnp.asarray(mask))
         dense = assign_targets_dense(*args)
-        windowed = assign_targets(
-            *args, grid_shape=(Hd, Wd, A),
-            grid_origin=(cfg.voxel.x_min, cfg.voxel.y_min),
-            grid_cell=cfg.voxel.voxel_size * cfg.backbone.head_stride,
-            window=32)
-        np.testing.assert_array_equal(np.asarray(dense.cls_target),
-                                      np.asarray(windowed.cls_target))
-        np.testing.assert_array_equal(np.asarray(dense.cls_weight),
-                                      np.asarray(windowed.cls_weight))
-        np.testing.assert_allclose(np.asarray(dense.reg_target),
-                                   np.asarray(windowed.reg_target),
-                                   atol=1e-5)
-        assert float(dense.num_pos) == float(windowed.num_pos)
-        assert float(windowed.num_pos) > 0
+        rot_counts = {len(a.rotations) for a in cfg.anchors}
+        pca = rot_counts.pop() if len(rot_counts) == 1 else None
+        assert pca is not None          # exercise the class-window path
+        for per_class in (None, pca):
+            windowed = assign_targets(
+                *args, grid_shape=(Hd, Wd, A),
+                grid_origin=(cfg.voxel.x_min, cfg.voxel.y_min),
+                grid_cell=cfg.voxel.voxel_size * cfg.backbone.head_stride,
+                window=32, per_class_anchors=per_class)
+            np.testing.assert_array_equal(np.asarray(dense.cls_target),
+                                          np.asarray(windowed.cls_target))
+            np.testing.assert_array_equal(np.asarray(dense.cls_weight),
+                                          np.asarray(windowed.cls_weight))
+            np.testing.assert_allclose(np.asarray(dense.reg_target),
+                                       np.asarray(windowed.reg_target),
+                                       atol=1e-5)
+            assert float(dense.num_pos) == float(windowed.num_pos)
+            assert float(windowed.num_pos) > 0
 
 
 class TestParallelNMS:
