@@ -209,6 +209,9 @@ class Config:
     anchors: Tuple[AnchorConfig, ...] = (CAR_ANCHOR,)
     with_camera: bool = False     # camera branch on/off
     with_fusion: bool = False     # continuous fusion layers on/off
+    # Pallas pairwise rotated-clip kernel for NMS / assigner IoUs
+    # (resolved to False off-TPU by resolve_platform)
+    pallas_clip: bool = True
 
     @property
     def num_classes(self) -> int:
@@ -276,7 +279,8 @@ def resolve_platform(cfg: Config, platform: str = None) -> Config:
         voxel=dataclasses.replace(cfg.voxel,
                                   use_pallas=cfg.voxel.use_pallas and on_tpu),
         fusion=dataclasses.replace(
-            cfg.fusion, use_pallas=cfg.fusion.use_pallas and on_tpu))
+            cfg.fusion, use_pallas=cfg.fusion.use_pallas and on_tpu),
+        pallas_clip=cfg.pallas_clip and on_tpu)
 
 
 # --------------------------------------------------------------------------

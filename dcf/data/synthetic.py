@@ -102,8 +102,25 @@ def make_frame(frame_id: str = "000000",
     image = (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
     diff = np.zeros(len(boxes7), np.int32)
-    bbox2d = np.tile(np.array([[100.0, 100.0, 200.0, 200.0]], np.float32),
-                     (len(boxes7), 1))
+    # real projected 2D boxes (numpy, host data path): the devkit
+    # evaluator height-filters *detections* by their projected box, so gt
+    # boxes must use the same geometry or distant objects skew
+    # easy-difficulty AP
+    bbox2d = np.zeros((len(boxes7), 4), np.float32)
+    for i, b in enumerate(boxes7):
+        c, s = np.cos(b[6]), np.sin(b[6])
+        cx = np.array([1, -1, -1, 1, 1, -1, -1, 1]) * b[3] / 2
+        cy = np.array([1, 1, -1, -1, 1, 1, -1, -1]) * b[4] / 2
+        cz = np.array([-1, -1, -1, -1, 1, 1, 1, 1]) * b[5] / 2
+        corners = np.stack([b[0] + cx * c - cy * s,
+                            b[1] + cx * s + cy * c,
+                            b[2] + cz], axis=-1)
+        uvz = calib.velo_to_image(corners)
+        h, w = image.shape[:2]
+        bbox2d[i] = [np.clip(uvz[:, 0].min(), 0, w - 1),
+                     np.clip(uvz[:, 1].min(), 0, h - 1),
+                     np.clip(uvz[:, 0].max(), 0, w - 1),
+                     np.clip(uvz[:, 1].max(), 0, h - 1)]
     return Frame(frame_id=frame_id, points=points, image=image, calib=calib,
                  boxes=boxes7, labels=np.asarray(labels, np.int32),
                  difficulty=diff, names=names,

@@ -32,7 +32,9 @@ from dcf.config import Config, VoxelConfig
 from dcf.geometry.transforms import project_velo_to_image
 from dcf.ops.bilinear import bilinear_sample
 from dcf.ops.knn import bin_points_dense
-from dcf.ops.pallas.fusion_kernel import (_plane_geometry, fused_fusion,
+from dcf.ops.pallas.fusion_kernel import (_plane_geometry,
+                                          bin_points_planes,
+                                          fused_fusion_planes,
                                           fused_fusion_reference,
                                           slab_starts)
 
@@ -127,12 +129,19 @@ class ContinuousFusionLayer(nn.Module):
             payload = jnp.concatenate(
                 [pts[:, :3],
                  jnp.arange(P, dtype=jnp.float32)[:, None]], axis=-1)
-            bins = bin_points_dense(payload, img_ok, origin, cell, (H, W),
-                                    fus.bin_capacity)
-            return bins, pfeat
+            if fus.use_pallas:
+                # scatter straight into the kernel's plane layout (no
+                # [H, W, C, D] bins + per-scale transpose on the hot path)
+                binned = bin_points_planes(
+                    payload, img_ok, origin, cell, (H, W),
+                    fus.bin_capacity, r, fus.pallas_tile_rows)
+            else:
+                binned = bin_points_dense(payload, img_ok, origin, cell,
+                                          (H, W), fus.bin_capacity)
+            return binned, pfeat
 
-        bins, pfeat = jax.vmap(prepare)(points, mask,
-                                        velo_to_image, image_feat)
+        binned, pfeat = jax.vmap(prepare)(points, mask,
+                                          velo_to_image, image_feat)
 
         # first-MLP-layer split: the image half is applied per point
         # (before selection); the geometric half is applied per pair
@@ -159,11 +168,12 @@ class ContinuousFusionLayer(nn.Module):
             starts, _overflow = jax.vmap(
                 lambda fr: slab_starts(fr, NS, TH, r, ratio, capz,
                                        P_pad))(fine_row)
-            acc = fused_fusion(bins, z1t, starts, wgt, bg2, origin, cell,
-                               K, radius_cells=r, tile_rows=TH, capz=capz)
+            acc = fused_fusion_planes(
+                binned, z1t, starts, wgt, bg2, origin, cell, K, H, W,
+                radius_cells=r, tile_rows=TH, capz=capz)
         else:
-            acc = fused_fusion_reference(bins, z1, wgt, bg2, origin, cell,
-                                         K, radius_cells=r)
+            acc = fused_fusion_reference(binned, z1, wgt, bg2, origin,
+                                         cell, K, radius_cells=r)
 
         # output layer: linear over the K-sum; the per-pair bias of the
         # paper's MLP is count * bias (kernel's last channel)

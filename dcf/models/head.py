@@ -113,10 +113,30 @@ def decode_and_nms(flat: Dict[str, jnp.ndarray], anchors: jnp.ndarray,
                 [top_boxes[..., :6], yaw[..., None]], axis=-1)
 
         valid = top_scores > cfg.head.score_threshold
-        keep_idx, keep_mask = jax.vmap(
-            lambda b, s, v: rotated_nms_parallel(
-                b, s, v, cfg.head.nms_iou_threshold, D)
-        )(top_boxes[..., [0, 1, 3, 4, 6]], top_scores, valid)  # [C, D]
+        if cfg.pallas_clip:
+            # one flat kernel call for all C classes' K x K matrices
+            # (vmapping the pallas_call would serialize per class)
+            from dcf.ops.pallas.clip_kernel import (
+                rotated_intersection_area_pairs)
+            bev = top_boxes[..., [0, 1, 3, 4, 6]]              # [C, k, 5]
+            aa = jnp.broadcast_to(bev[:, :, None, :], (C, k, k, 5))
+            bb = jnp.broadcast_to(bev[:, None, :, :], (C, k, k, 5))
+            inter = rotated_intersection_area_pairs(
+                aa.reshape(C * k * k, 5),
+                bb.reshape(C * k * k, 5)).reshape(C, k, k)
+            area = bev[..., 2] * bev[..., 3]
+            iou_cls = inter / jnp.maximum(
+                area[:, :, None] + area[:, None, :] - inter, 1e-9)
+            keep_idx, keep_mask = jax.vmap(
+                lambda io, s, v: rotated_nms_parallel(
+                    None, s, v, cfg.head.nms_iou_threshold, D,
+                    precomputed_iou=io)
+            )(iou_cls, top_scores, valid)                      # [C, D]
+        else:
+            keep_idx, keep_mask = jax.vmap(
+                lambda b, s, v: rotated_nms_parallel(
+                    b, s, v, cfg.head.nms_iou_threshold, D)
+            )(top_boxes[..., [0, 1, 3, 4, 6]], top_scores, valid)
         boxes_cat = jnp.take_along_axis(
             top_boxes, keep_idx[..., None], axis=1).reshape(C * D, 7)
         scores_cat = jnp.take_along_axis(top_scores, keep_idx,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -40,7 +41,14 @@ class ConvNorm(nn.Module):
                     param_dtype=jnp.float32)(x)
         # bf16 GroupNorm: flax accumulates the moments in fp32 internally,
         # and keeping the activation dtype avoids a full fp32 round-trip
-        # (two 36 MB copies per norm at the finest BEV scale)
+        # (two 36 MB copies per norm at the finest BEV scale).
+        # At batch > 1 XLA:TPU's conv+GroupNorm fusion is pathological
+        # (measured 3.8x slower than the two ops apart at B=4 on v5e, the
+        # round-1 "batching regresses throughput" mystery); an
+        # optimization barrier keeps them separate. B is static, and at
+        # B=1 the fusion is fine, so the barrier is batch-gated.
+        if x.shape[0] > 1:
+            x = jax.lax.optimization_barrier(x)
         x = nn.GroupNorm(num_groups=_num_groups(self.features),
                          dtype=self.dtype, param_dtype=jnp.float32)(x)
         if self.act is not None:

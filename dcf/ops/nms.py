@@ -59,7 +59,8 @@ def greedy_select(iou: jnp.ndarray, scores: jnp.ndarray,
 def rotated_nms_parallel(boxes_bev: jnp.ndarray, scores: jnp.ndarray,
                          valid: jnp.ndarray, iou_threshold: float,
                          max_out: int,
-                         max_rounds: int = None
+                         max_rounds: int = None,
+                         precomputed_iou: jnp.ndarray = None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact greedy NMS computed as iterated independent sets.
 
@@ -78,10 +79,16 @@ def rotated_nms_parallel(boxes_bev: jnp.ndarray, scores: jnp.ndarray,
     chain and the loop still exits early (via `cond`) in ~chain-depth
     rounds -- the fixed cap exists only to bound the while_loop.
     """
-    K = boxes_bev.shape[0]
+    if precomputed_iou is not None:
+        # callers on the Pallas-clip path (dcf.ops.pallas.clip_kernel)
+        # compute the matrix in one flat kernel call for all classes
+        iou = precomputed_iou
+        K = iou.shape[0]
+    else:
+        K = boxes_bev.shape[0]
+        iou = rotated_iou_bev(boxes_bev, boxes_bev)
     if max_rounds is None:
         max_rounds = K
-    iou = rotated_iou_bev(boxes_bev, boxes_bev)
     s = scores.astype(jnp.float32)
     idx = jnp.arange(K)
     higher = (s[None, :] > s[:, None]) | (

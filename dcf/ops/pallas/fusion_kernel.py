@@ -76,6 +76,58 @@ def _plane_geometry(H: int, W: int, r: int, tile_rows: int):
     return TH, H_eff, TS, WP, RP
 
 
+def bin_points_planes(points: jnp.ndarray, mask: jnp.ndarray,
+                      origin, cell_size: float, grid_hw,
+                      capacity: int, r: int, tile_rows: int) -> jnp.ndarray:
+    """Scatter point payloads DIRECTLY into the kernel's plane layout.
+
+    Equivalent to `build_planes(bin_points_dense(...))` (parity-tested)
+    without materializing the [H, W, C, D] bins + the [B, D+1, C, H, W]
+    transpose that XLA copies through HBM per fusion scale: one flat
+    scalar scatter writes every field (and the validity plane) at its
+    final [D+1, C, RP, WP] position.
+
+    Args:
+      points: [P, D] payload rows, first two columns BEV (x, y).
+      mask: [P] validity.
+
+    Returns:
+      [D+1, C, RP, WP] float32 planes (validity last).
+    """
+    from dcf.ops.knn import _rank_within_runs
+    H, W = grid_hw
+    P, D = points.shape
+    C = capacity
+    TH, H_eff, TS, WP, RP = _plane_geometry(H, W, r, tile_rows)
+    ix = jnp.floor((points[:, 0] - origin[0]) / cell_size).astype(jnp.int32)
+    iy = jnp.floor((points[:, 1] - origin[1]) / cell_size).astype(jnp.int32)
+    inb = mask & (ix >= 0) & (ix < H) & (iy >= 0) & (iy < W)
+    cell = jnp.where(inb, ix * W + iy, H * W)
+
+    order = jnp.argsort(cell)
+    sorted_cell = cell[order]
+    rank = _rank_within_runs(sorted_cell)
+    ok = (rank < C) & (sorted_cell < H * W)
+    six = ix[order] + r
+    siy = iy[order] + r
+    # spatial offset of the point's cell inside one [RP, WP] plane
+    spatial = (rank * RP + six) * WP + siy                      # [P]
+    plane = C * RP * WP
+    iota = jnp.arange(P, dtype=jnp.int32)
+    base = jnp.where(ok, spatial, (D + 1) * plane + iota)       # drop slot
+    vals = jnp.concatenate(
+        [points[order].T.reshape(-1),                           # [D * P]
+         jnp.ones((P,), points.dtype)], axis=0)                 # validity
+    idx = jnp.concatenate(
+        [base[None, :] + plane * jnp.arange(D + 1,
+                                            dtype=jnp.int32)[:, None]],
+        axis=0).reshape(-1)                                     # [(D+1)*P]
+    flat = jnp.zeros(((D + 1) * plane,), jnp.float32)
+    flat = flat.at[idx].set(vals.astype(jnp.float32), mode="drop",
+                            unique_indices=True)
+    return flat.reshape(D + 1, C, RP, WP)
+
+
 def build_planes(bins: DenseBins, r: int, tile_rows: int) -> jnp.ndarray:
     """[B, H, W, C, D] bins -> [B, D+1, C, RP, WP] field planes (validity
     last), zero-padded r rows/cols top/left, aligned slack elsewhere."""
@@ -498,8 +550,24 @@ def fused_fusion(bins: DenseBins, z1t: jnp.ndarray, starts: jnp.ndarray,
     """
     B, H, W, C, D = bins.data.shape
     assert D == _D, f"payload must be (x, y, z, gidx), got D={D}"
-    planes = jax.lax.stop_gradient(build_planes(bins, radius_cells,
-                                                tile_rows))
+    planes = build_planes(bins, radius_cells, tile_rows)
+    return fused_fusion_planes(planes, z1t, starts, wgt, bg, origin,
+                               cell_size, k, H, W,
+                               radius_cells=radius_cells,
+                               tile_rows=tile_rows, capz=capz,
+                               interpret=interpret, bwd_chunk=bwd_chunk)
+
+
+def fused_fusion_planes(planes: jnp.ndarray, z1t: jnp.ndarray,
+                        starts: jnp.ndarray, wgt: jnp.ndarray,
+                        bg: jnp.ndarray, origin, cell_size: float, k: int,
+                        H: int, W: int, radius_cells: int = 1,
+                        tile_rows: int = 8, capz: int = 2048,
+                        interpret: bool = False,
+                        bwd_chunk: int = 4096) -> jnp.ndarray:
+    """`fused_fusion` on pre-built [B, D+1, C, RP, WP] planes (see
+    `bin_points_planes` -- skips the bins transpose on the hot path)."""
+    planes = jax.lax.stop_gradient(planes)
     out = _fused_fusion_p(planes, z1t, starts, wgt, bg, origin, cell_size,
                           k, radius_cells, tile_rows, capz, H, W, interpret,
                           bwd_chunk)

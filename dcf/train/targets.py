@@ -124,7 +124,8 @@ def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
                    grid_origin: Tuple[float, float] = None,
                    grid_cell: float = None,
                    window: int = 32,
-                   per_class_anchors: int = None) -> AnchorTargets:
+                   per_class_anchors: int = None,
+                   use_pallas_clip: bool = False) -> AnchorTargets:
     """Windowed single-frame target assignment.
 
     Args:
@@ -134,6 +135,8 @@ def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
       per_class_anchors: static anchors-per-class count (A // num_classes)
         when every class has the same rotation count; enables the
         class-restricted window fast path.
+      use_pallas_clip: window IoUs via the VMEM-resident Pallas clip
+        kernel (TPU only; parity-tested against the jnp clip).
     """
     if grid_shape is None:
         return assign_targets_dense(anchors, anchor_classes, matched_thr,
@@ -191,7 +194,12 @@ def assign_targets(anchors: jnp.ndarray, anchor_classes: jnp.ndarray,
     gt_bev = gt_boxes[:, [0, 1, 3, 4, 6]]                    # [G, 5]
     g_bev = jnp.broadcast_to(gt_bev[:, None, :],
                              (G, M, 5)).reshape(G * M, 5)
-    inter = rotated_intersection_area(a_bev, g_bev)          # [G*M]
+    if use_pallas_clip:
+        from dcf.ops.pallas.clip_kernel import (
+            rotated_intersection_area_pairs)
+        inter = rotated_intersection_area_pairs(a_bev, g_bev)
+    else:
+        inter = rotated_intersection_area(a_bev, g_bev)      # [G*M]
     g_area = g_bev[:, 2] * g_bev[:, 3]
     iou_flat = inter / jnp.maximum(a_area + g_area - inter, 1e-9)
     # class-restricted windows contain only same-class anchors, but
@@ -234,12 +242,14 @@ def assign_targets_batch(anchors, anchor_classes, matched_thr, unmatched_thr,
                          gt_boxes, gt_labels, gt_mask,
                          grid_shape=None, grid_origin=None, grid_cell=None,
                          window: int = 32,
-                         per_class_anchors: int = None) -> AnchorTargets:
+                         per_class_anchors: int = None,
+                         use_pallas_clip: bool = False) -> AnchorTargets:
     """Batched over frames: gt_* have a leading batch dim."""
     return jax.vmap(
         lambda b, l, m: assign_targets(
             anchors, anchor_classes, matched_thr, unmatched_thr, b, l, m,
             grid_shape=grid_shape, grid_origin=grid_origin,
             grid_cell=grid_cell, window=window,
-            per_class_anchors=per_class_anchors)
+            per_class_anchors=per_class_anchors,
+            use_pallas_clip=use_pallas_clip)
     )(gt_boxes, gt_labels, gt_mask)

@@ -221,3 +221,119 @@ class TestVoxelizeKernel:
                                    jnp.zeros(128, bool), cfg,
                                    slab_rows=8, cap=128, interpret=True)
         assert not np.asarray(out).any()
+
+
+class TestClipKernel:
+    """Pallas pairwise rotated-clip kernel vs the jnp clip."""
+
+    def _boxes(self, rng, n):
+        b = np.stack([rng.uniform(-5, 5, n), rng.uniform(-5, 5, n),
+                      rng.uniform(0.5, 5, n), rng.uniform(0.5, 5, n),
+                      rng.uniform(-np.pi, np.pi, n)], 1)
+        return b.astype(np.float32)
+
+    def test_pairs_match_jnp(self, rng):
+        from dcf.geometry.boxes import rotated_intersection_area
+        from dcf.ops.pallas.clip_kernel import (
+            rotated_intersection_area_pairs)
+        P = 2500
+        a, b = self._boxes(rng, P), self._boxes(rng, P)
+        b[:P // 2, :2] = a[:P // 2, :2] + rng.uniform(-1, 1, (P // 2, 2))
+        ref = rotated_intersection_area(jnp.asarray(a), jnp.asarray(b))
+        got = rotated_intersection_area_pairs(jnp.asarray(a),
+                                              jnp.asarray(b),
+                                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_nms_with_precomputed_iou_identical(self, rng):
+        from dcf.geometry.boxes import rotated_iou_bev
+        from dcf.ops.pallas.clip_kernel import rotated_iou_bev_matrix
+        from dcf.ops.nms import rotated_nms_parallel
+        K = 64
+        boxes = self._boxes(rng, K)
+        boxes[:, :2] *= 0.4                      # force real overlaps
+        scores = rng.uniform(0.1, 1.0, K).astype(np.float32)
+        valid = rng.uniform(size=K) < 0.9
+        bj = jnp.asarray(boxes)
+        idx0, keep0 = rotated_nms_parallel(bj, jnp.asarray(scores),
+                                           jnp.asarray(valid), 0.3, 16)
+        iou = rotated_iou_bev_matrix(bj, bj, interpret=True)
+        idx1, keep1 = rotated_nms_parallel(None, jnp.asarray(scores),
+                                           jnp.asarray(valid), 0.3, 16,
+                                           precomputed_iou=iou)
+        np.testing.assert_array_equal(np.asarray(idx0), np.asarray(idx1))
+        np.testing.assert_array_equal(np.asarray(keep0), np.asarray(keep1))
+
+    def test_assigner_pallas_clip_matches(self, rng):
+        """Windowed assignment with the kernel clip == jnp clip
+        (vmapped over the batch, interpret mode)."""
+        import functools
+        from unittest import mock
+        from dcf.config import tiny_config
+        from dcf.models.anchors import anchor_grid_shape, generate_anchors
+        from dcf.ops.pallas import clip_kernel
+        from dcf.train.targets import assign_targets_batch
+        cfg = tiny_config()
+        anchors, classes, mt, ut = generate_anchors(cfg)
+        Hd, Wd, A = anchor_grid_shape(cfg)
+        B, G = 2, 6
+        gt = np.zeros((B, G, 7), np.float32)
+        gt[..., 0] = rng.uniform(2, 23, (B, G))
+        gt[..., 1] = rng.uniform(-11, 11, (B, G))
+        gt[..., 2] = -1.0
+        gt[..., 3:6] = np.array([3.9, 1.6, 1.56])
+        gt[..., 6] = rng.uniform(-np.pi, np.pi, (B, G))
+        labels = rng.integers(0, 3, (B, G)).astype(np.int32)
+        mask = rng.uniform(size=(B, G)) < 0.8
+        kwargs = dict(
+            grid_shape=(Hd, Wd, A),
+            grid_origin=(cfg.voxel.x_min, cfg.voxel.y_min),
+            grid_cell=cfg.voxel.voxel_size * cfg.backbone.head_stride,
+            per_class_anchors=2)
+        args = (jnp.asarray(anchors), jnp.asarray(classes),
+                jnp.asarray(mt), jnp.asarray(ut), jnp.asarray(gt),
+                jnp.asarray(labels), jnp.asarray(mask))
+        ref = assign_targets_batch(*args, **kwargs)
+        interp = functools.partial(
+            clip_kernel.rotated_intersection_area_pairs, interpret=True)
+        with mock.patch.object(clip_kernel,
+                               "rotated_intersection_area_pairs", interp):
+            got = assign_targets_batch(*args, use_pallas_clip=True,
+                                       **kwargs)
+        # kernel areas differ from the jnp clip by float reassociation
+        # (~1e-5): anchors whose IoU sits exactly on a threshold may flip.
+        # Require agreement everywhere else.
+        ref_cls = np.asarray(ref.cls_target)
+        got_cls = np.asarray(got.cls_target)
+        flips = ref_cls != got_cls
+        assert flips.mean() < 3e-3, flips.mean()
+        agree_pos = (ref_cls == 1) & (got_cls == 1)
+        np.testing.assert_allclose(np.asarray(ref.reg_target)[agree_pos],
+                                   np.asarray(got.reg_target)[agree_pos],
+                                   atol=1e-5)
+        d_pos = abs(float(np.asarray(ref.num_pos).sum())
+                    - float(np.asarray(got.num_pos).sum()))
+        assert d_pos <= flips.sum()
+
+
+class TestBinPointsPlanes:
+    def test_matches_build_planes(self, rng):
+        """Direct planes scatter == bin_points_dense + build_planes."""
+        from dcf.ops.pallas.fusion_kernel import (bin_points_planes,
+                                                  build_planes)
+        H, W, C, r, tile_rows = 24, 130, 3, 1, 8
+        P = 700
+        pts = np.zeros((P, 4), np.float32)
+        pts[:, 0] = rng.uniform(-2, H + 2, P)
+        pts[:, 1] = rng.uniform(-2, W + 2, P)
+        pts[:, 2] = rng.uniform(-2, 2, P)
+        pts[:, 3] = np.arange(P)
+        mask = rng.uniform(size=P) < 0.9
+        bins = bin_points_dense(jnp.asarray(pts), jnp.asarray(mask),
+                                (0.0, 0.0), 1.0, (H, W), C)
+        ref = build_planes(jax.tree.map(lambda x: x[None], bins), r,
+                           tile_rows)[0]
+        got = bin_points_planes(jnp.asarray(pts), jnp.asarray(mask),
+                                (0.0, 0.0), 1.0, (H, W), C, r, tile_rows)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

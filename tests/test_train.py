@@ -190,3 +190,31 @@ class TestMultiHost:
         assert per_shard[1] == [1, 4, 7]
         assert per_shard[2] == [2, 5, 8]
         assert set().union(*map(set, per_shard)) == set(range(10))
+
+
+@pytest.mark.skipif(not os.environ.get("DCF_GENERALIZATION_TEST"),
+                    reason="TPU-scale integration run (set "
+                           "DCF_GENERALIZATION_TEST=1; ~30 min on a v5e)")
+class TestGeneralization:
+    def test_learns_on_held_out_synthetic_frames(self, tmp_path):
+        """VERDICT round-1 item 4: train on 64 seed-varied synthetic
+        frames, evaluate devkit AP on 16 disjoint-seed frames -- proves
+        learning, not just overfit plumbing. Thresholds calibrated from
+        the round-2 runs recorded in BASELINE.md."""
+        import json
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts",
+                                          "generalization.py"),
+             "--steps", "5000", "--workdir", str(tmp_path)],
+            check=True, cwd=repo, timeout=7200)
+        with open(tmp_path / "generalization.json") as f:
+            r = json.load(f)
+        # measured at 5000 steps (BASELINE.md round-2): Car 0.90,
+        # Pedestrian 1.0, Cyclist 0.68 -- thresholds leave seed margin
+        assert r["Car_3d_moderate_exact"] > 0.6
+        assert r["Pedestrian_3d_moderate_exact"] > 0.8
+        assert r["Cyclist_3d_moderate_exact"] > 0.4
+        assert r["Car_bev_moderate_exact"] >= r["Car_3d_moderate_exact"]
