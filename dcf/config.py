@@ -43,12 +43,12 @@ class VoxelConfig:
     voxel_size: float = 0.1
     z_slice_size: float = 0.2
     max_points: int = 24576  # static point capacity after ROI crop (pad/trunc)
-    # Pallas matmul-scatter rasterizer (TPU only). The jnp sorted-scatter
-    # is already ~1.6 ms and exact with no per-slab cap, so it stays the
-    # default; the kernel is its parity-tested drop-in (see
-    # dcf/ops/pallas/voxelize_kernel.py).
-    use_pallas: bool = False
-    pallas_slab_cap: int = 4096
+    # Rasterizer decision (round 2, measured on v5e): the jnp
+    # unique-indices sorted-scatter is the production rasterizer. A
+    # Pallas matmul-scatter slab kernel was built and parity-tested in
+    # round 1 but measured 3x SLOWER (1.89 vs 0.62 ms/frame at B=1 and
+    # B=8) -- XLA's unique-scatter is already bandwidth-optimal here --
+    # so it was retired (git history: dcf/ops/pallas/voxelize_kernel.py).
 
     @property
     def grid_x(self) -> int:  # rows of the BEV image (forward axis)
@@ -276,8 +276,6 @@ def resolve_platform(cfg: Config, platform: str = None) -> Config:
     on_tpu = platform == "tpu"
     return dataclasses.replace(
         cfg,
-        voxel=dataclasses.replace(cfg.voxel,
-                                  use_pallas=cfg.voxel.use_pallas and on_tpu),
         fusion=dataclasses.replace(
             cfg.fusion, use_pallas=cfg.fusion.use_pallas and on_tpu),
         pallas_clip=cfg.pallas_clip and on_tpu)

@@ -6,9 +6,11 @@ height slice plus a mean-intensity channel.
 
 Host side, `crop_and_pad` turns a variable-N cloud into the framework's
 static `(points[max_points, 4], mask[max_points])` pair (SURVEY.md "static
-shapes everywhere"). Device side, `rasterize_bev` is the pure-jnp scatter
-reference; `dcf.ops.pallas.voxelize_kernel` is its fused TPU twin and is
-parity-tested against it (SURVEY.md 4.3).
+shapes everywhere"). Device side, `rasterize_bev` (unique-indices sorted
+scatter) is THE production rasterizer: a Pallas slab-kernel twin was
+built and parity-tested in round 1 but measured 3x slower on v5e (XLA's
+unique-scatter is already bandwidth-optimal here), so it was retired --
+see VoxelConfig's note and BASELINE.md.
 """
 
 from __future__ import annotations

@@ -45,18 +45,11 @@ class ContFuseDetector(nn.Module):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.backbone.dtype)
 
-        # kernel selection is resolved at config time (dcf.config.
-        # resolve_platform) -- no trace-time platform sniffing here
-        if cfg.voxel.use_pallas:
-            from dcf.ops.pallas.voxelize_kernel import rasterize_bev_pallas
-            pseudo = jnp.stack([
-                rasterize_bev_pallas(batch["points"][b],
-                                     batch["point_mask"][b], cfg.voxel,
-                                     cap=cfg.voxel.pallas_slab_cap)
-                for b in range(batch["points"].shape[0])])
-        else:
-            pseudo = rasterize_bev_batch(batch["points"],
-                                         batch["point_mask"], cfg.voxel)
+        # jnp unique-indices sorted-scatter is the ONE production
+        # rasterizer (a Pallas slab kernel measured 3x slower on v5e and
+        # was retired -- see VoxelConfig's note)
+        pseudo = rasterize_bev_batch(batch["points"],
+                                     batch["point_mask"], cfg.voxel)
 
         img_feats = None
         if cfg.with_camera:

@@ -184,45 +184,6 @@ class TestFusedFusionKernel:
         assert not np.asarray(out).any()
 
 
-class TestVoxelizeKernel:
-    def _mk(self, rng, P=2048):
-        from dcf.config import VoxelConfig
-        cfg = VoxelConfig(x_min=0, x_max=12.8, y_min=-6.4, y_max=6.4,
-                          z_min=-2, z_max=2, voxel_size=0.1,
-                          z_slice_size=0.2, max_points=P)
-        pts = np.zeros((P, 4), np.float32)
-        pts[:, 0] = rng.uniform(-1, 14, P)
-        pts[:, 1] = rng.uniform(-7, 7, P)
-        pts[:, 2] = rng.uniform(-2.5, 2.5, P)
-        pts[:, 3] = rng.uniform(0, 1, P)
-        mask = rng.uniform(size=P) < 0.9
-        return cfg, jnp.asarray(pts), jnp.asarray(mask)
-
-    def test_matches_jnp_twin(self, rng):
-        from dcf.data.voxelize import rasterize_bev
-        from dcf.ops.pallas.voxelize_kernel import rasterize_bev_pallas
-        cfg, pts, mask = self._mk(rng)
-        ref = np.asarray(rasterize_bev(pts, mask, cfg))
-        got = np.asarray(rasterize_bev_pallas(pts, mask, cfg, slab_rows=8,
-                                              cap=512, interpret=True))
-        nz = cfg.num_z_slices
-        # occupancy channels are exact; the intensity mean accumulates in
-        # the matmul with bf16-grade rounding
-        np.testing.assert_array_equal(got[..., :nz], ref[..., :nz])
-        np.testing.assert_allclose(got[..., nz], ref[..., nz], atol=5e-3)
-
-    def test_empty(self):
-        from dcf.config import VoxelConfig
-        from dcf.ops.pallas.voxelize_kernel import rasterize_bev_pallas
-        cfg = VoxelConfig(x_min=0, x_max=6.4, y_min=-3.2, y_max=3.2,
-                          z_min=-2, z_max=2, voxel_size=0.1,
-                          z_slice_size=0.2, max_points=128)
-        out = rasterize_bev_pallas(jnp.zeros((128, 4)),
-                                   jnp.zeros(128, bool), cfg,
-                                   slab_rows=8, cap=128, interpret=True)
-        assert not np.asarray(out).any()
-
-
 class TestClipKernel:
     """Pallas pairwise rotated-clip kernel vs the jnp clip."""
 
