@@ -62,6 +62,15 @@ def train(cfg: Config, dataset, workdir: str,
         dataset = _ProcessShard(dataset, jax.process_index(),
                                 jax.process_count())
     os.makedirs(workdir, exist_ok=True)
+    if num_data_shards is None:
+        # largest device count the global batch divides evenly across
+        nd = jax.device_count()
+        bs = cfg.train.batch_size * jax.process_count()
+        num_data_shards = max(d for d in range(1, nd + 1) if bs % d == 0)
+    elif (cfg.train.batch_size * jax.process_count()) % num_data_shards:
+        raise ValueError(
+            f"global batch {cfg.train.batch_size * jax.process_count()} "
+            f"not divisible by --data-shards {num_data_shards}")
     mesh = pmesh.make_mesh(num_data=num_data_shards)
     model = ContFuseDetector(cfg)
     loader = Loader(dataset, cfg, training=True, gt_db=gt_db,
