@@ -147,6 +147,10 @@ class HeadConfig:
     head_channels: int = 128
     num_convs: int = 2
     pre_nms_top_k: int = 256      # score prefilter before rotated NMS
+    # exact_topk=True swaps the approx_max_k prefilter (recall 0.99,
+    # hardware-accelerated) for an exact lax.top_k full sort -- the
+    # flagged bit-parity mode for A/B runs against the reference
+    exact_topk: bool = False
     nms_max_per_class: int = 64   # greedy NMS rounds per class
     nms_iou_threshold: float = 0.25
     score_threshold: float = 0.05
@@ -184,6 +188,10 @@ class TrainConfig:
     """Optimizer / schedule / loop (SURVEY.md T2/T3)."""
 
     batch_size: int = 8
+    # gradient accumulation: split each batch into accum_steps
+    # micro-batches (lax.scan) -- bounds activation memory while keeping
+    # EXACT full-batch gradients (see dcf.train.step.make_train_step)
+    accum_steps: int = 1
     num_steps: int = 18560        # ~40 epochs of 3712 frames at batch 8
     learning_rate: float = 2e-3
     weight_decay: float = 1e-4

@@ -93,9 +93,13 @@ def decode_and_nms(flat: Dict[str, jnp.ndarray], anchors: jnp.ndarray,
                                scores[None, :], 0.0)          # [C, N]
         # hardware-accelerated approximate top-k: exact top_k is a full
         # sort of the 200k-anchor axis; a 0.99-recall prefilter before NMS
-        # is more than enough (missed candidates are far below threshold)
-        top_scores, top_idx = jax.lax.approx_max_k(
-            cls_scores, k, recall_target=0.99)                 # [C, k]
+        # is more than enough (missed candidates are far below threshold).
+        # cfg.head.exact_topk flags the exact mode for parity A/B runs.
+        if cfg.head.exact_topk:
+            top_scores, top_idx = jax.lax.top_k(cls_scores, k)
+        else:
+            top_scores, top_idx = jax.lax.approx_max_k(
+                cls_scores, k, recall_target=0.99)             # [C, k]
 
         # decode only the C*k selected anchors -- decoding (and the yaw
         # direction fixup) over all 200k anchors costs more than the

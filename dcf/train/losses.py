@@ -46,11 +46,66 @@ def add_sin_difference(reg_pred: jnp.ndarray, reg_target: jnp.ndarray
     return pred, target
 
 
+def detection_loss_sums(flat_preds: Dict[str, jnp.ndarray],
+                        targets: AnchorTargets,
+                        cfg: LossConfig) -> Tuple[jnp.ndarray,
+                                                  Dict[str, jnp.ndarray]]:
+    """UNNORMALIZED loss sums over a (micro-)batch.
+
+    Returns (weighted_sum, sums) where weighted_sum = sum_i w_i * sum_i
+    and sums carries the per-component raw sums + num_pos. The
+    normalization by global num_pos happens in `detection_loss` (single
+    batch) or after accumulation (dcf.train.step gradient accumulation:
+    num_pos does not depend on params, so accumulated gradients of the
+    sums divided by the global num_pos are exactly the full-batch
+    gradients).
+    """
+    cls_logits = flat_preds["cls"].astype(jnp.float32)
+    reg_pred = flat_preds["reg"].astype(jnp.float32)
+
+    cls_elem = sigmoid_focal_loss(cls_logits, targets.cls_target,
+                                  cfg.focal_alpha, cfg.focal_gamma)
+    cls_sum = jnp.sum(cls_elem * targets.cls_weight)
+
+    pred_s, target_s = add_sin_difference(reg_pred, targets.reg_target)
+    reg_elem = smooth_l1(pred_s, target_s, cfg.smooth_l1_beta)
+    reg_sum = jnp.sum(jnp.sum(reg_elem, axis=-1) * targets.reg_weight)
+
+    weighted = cfg.cls_weight * cls_sum + cfg.reg_weight * reg_sum
+    sums = {"cls_sum": cls_sum, "reg_sum": reg_sum,
+            "num_pos": jnp.sum(targets.num_pos)}
+
+    if "dir" in flat_preds:
+        dir_logits = flat_preds["dir"].astype(jnp.float32)
+        logp = jax.nn.log_softmax(dir_logits, axis=-1)
+        onehot = jax.nn.one_hot(targets.dir_target, 2)
+        dir_elem = -jnp.sum(onehot * logp, axis=-1)
+        dir_sum = jnp.sum(dir_elem * targets.reg_weight)
+        weighted = weighted + cfg.dir_weight * dir_sum
+        sums["dir_sum"] = dir_sum
+    return weighted, sums
+
+
+def metrics_from_sums(weighted: jnp.ndarray,
+                      sums: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray,
+                                                             Dict]:
+    """Normalize accumulated loss sums into (loss, metrics)."""
+    num_pos = jnp.maximum(sums["num_pos"], 1.0)
+    metrics = {"loss_cls": sums["cls_sum"] / num_pos,
+               "loss_reg": sums["reg_sum"] / num_pos,
+               "num_pos": sums["num_pos"]}
+    if "dir_sum" in sums:
+        metrics["loss_dir"] = sums["dir_sum"] / num_pos
+    total = weighted / num_pos
+    metrics["loss"] = total
+    return total, metrics
+
+
 def detection_loss(flat_preds: Dict[str, jnp.ndarray],
                    targets: AnchorTargets,
                    cfg: LossConfig) -> Tuple[jnp.ndarray,
                                              Dict[str, jnp.ndarray]]:
-    """Total loss over a batch.
+    """Total loss over a batch (normalized by the batch's num_pos).
 
     Args:
       flat_preds: {"cls": [B, N], "reg": [B, N, 7], "dir": [B, N, 2]?}
@@ -60,32 +115,5 @@ def detection_loss(flat_preds: Dict[str, jnp.ndarray],
     Returns:
       (scalar loss, metrics dict).
     """
-    cls_logits = flat_preds["cls"].astype(jnp.float32)
-    reg_pred = flat_preds["reg"].astype(jnp.float32)
-
-    num_pos = jnp.maximum(jnp.sum(targets.num_pos), 1.0)
-
-    cls_elem = sigmoid_focal_loss(cls_logits, targets.cls_target,
-                                  cfg.focal_alpha, cfg.focal_gamma)
-    cls_loss = jnp.sum(cls_elem * targets.cls_weight) / num_pos
-
-    pred_s, target_s = add_sin_difference(reg_pred, targets.reg_target)
-    reg_elem = smooth_l1(pred_s, target_s, cfg.smooth_l1_beta)
-    reg_loss = (jnp.sum(jnp.sum(reg_elem, axis=-1) * targets.reg_weight)
-                / num_pos)
-
-    total = cfg.cls_weight * cls_loss + cfg.reg_weight * reg_loss
-    metrics = {"loss_cls": cls_loss, "loss_reg": reg_loss,
-               "num_pos": jnp.sum(targets.num_pos)}
-
-    if "dir" in flat_preds:
-        dir_logits = flat_preds["dir"].astype(jnp.float32)
-        logp = jax.nn.log_softmax(dir_logits, axis=-1)
-        onehot = jax.nn.one_hot(targets.dir_target, 2)
-        dir_elem = -jnp.sum(onehot * logp, axis=-1)
-        dir_loss = jnp.sum(dir_elem * targets.reg_weight) / num_pos
-        total = total + cfg.dir_weight * dir_loss
-        metrics["loss_dir"] = dir_loss
-
-    metrics["loss"] = total
-    return total, metrics
+    weighted, sums = detection_loss_sums(flat_preds, targets, cfg)
+    return metrics_from_sums(weighted, sums)

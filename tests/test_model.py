@@ -145,3 +145,30 @@ class TestCapabilityConfigs:
         assert "fusion_s4" in names and "fusion_s2" not in names
         preds = jax.jit(model.apply)(params, batch)
         assert np.isfinite(np.asarray(preds["cls"])).all()
+
+
+class TestExactTopK:
+    def test_exact_topk_decode_matches_approx_on_cpu(self):
+        """exact_topk flag: same decode contract; on CPU approx_max_k is
+        exact anyway so outputs must be identical."""
+        from dataclasses import replace
+        from dcf.models.head import decode_and_nms, flatten_predictions
+        from dcf.models.anchors import generate_anchors
+        import numpy as np
+        cfg = tiny_config(with_fusion=False)
+        anchors, classes, *_ = generate_anchors(cfg)
+        rng = np.random.default_rng(0)
+        N = anchors.shape[0]
+        flat = {"cls": jnp.asarray(rng.normal(-4, 2, (1, N)), jnp.float32),
+                "reg": jnp.asarray(rng.normal(0, 0.1, (1, N, 7)),
+                                   jnp.float32),
+                "dir": jnp.asarray(rng.normal(0, 1, (1, N, 2)),
+                                   jnp.float32)}
+        a, c = jnp.asarray(anchors), jnp.asarray(classes)
+        out_approx = decode_and_nms(flat, a, c, cfg)
+        cfg_exact = replace(cfg, head=replace(cfg.head, exact_topk=True))
+        out_exact = decode_and_nms(flat, a, c, cfg_exact)
+        for key in ("boxes", "scores", "classes", "valid"):
+            np.testing.assert_array_equal(np.asarray(out_approx[key]),
+                                          np.asarray(out_exact[key]),
+                                          err_msg=key)

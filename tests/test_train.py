@@ -218,3 +218,39 @@ class TestGeneralization:
         assert r["Pedestrian_3d_moderate_exact"] > 0.8
         assert r["Cyclist_3d_moderate_exact"] > 0.4
         assert r["Car_bev_moderate_exact"] >= r["Car_3d_moderate_exact"]
+
+
+class TestGradientAccumulation:
+    def test_accum_matches_full_batch(self):
+        """accum_steps=2 must produce the same update as the full batch:
+        the math is exact (num_pos is param-independent, so
+        sums-then-normalize lands the full-batch gradient), but the
+        micro-batch forward is a different compiled program (B=2 vs B=4
+        shapes), so bf16 tolerances apply."""
+        from dataclasses import replace
+        cfg = tiny_config(with_fusion=True)
+        model = ContFuseDetector(cfg)
+        examples = [frame_to_example(make_frame(seed=i), cfg)
+                    for i in range(4)]
+        batch = {k: jnp.asarray(v) for k, v in
+                 stack_examples(examples).items()}
+        params = jax.jit(model.init)(jax.random.key(0),
+                                     {k: v[:1] for k, v in batch.items()})
+        pack = {k: jnp.asarray(v) for k, v in anchor_pack(cfg).items()}
+
+        outs = {}
+        for accum in (1, 2):
+            c = replace(cfg, train=replace(cfg.train, accum_steps=accum))
+            state = create_train_state(c, jax.tree.map(jnp.array, params))
+            step = jax.jit(make_train_step(c, model))
+            state, metrics = step(state, batch, pack)
+            outs[accum] = (jax.device_get(state.params),
+                           {k: float(v) for k, v in metrics.items()})
+
+        m1, m2 = outs[1][1], outs[2][1]
+        assert m1["num_pos"] == m2["num_pos"]
+        np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=2e-3)
+        for a, b in zip(jax.tree.leaves(outs[1][0]),
+                        jax.tree.leaves(outs[2][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3)
