@@ -37,7 +37,7 @@ C++ core when available, with exact numpy fallbacks (parity-tested).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
