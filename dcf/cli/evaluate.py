@@ -21,6 +21,8 @@ def main(argv=None) -> None:
     p.add_argument("--results-dir", default=None)
     p.add_argument("--num-frames", type=int, default=None)
     p.add_argument("--score-threshold", type=float, default=None)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="frames per device batch during inference")
     p.add_argument("--num-points", type=int, default=40,
                    help="40=R40 (official), 11=R11, 0=exact area-under-PR")
     p.add_argument("--metrics", default="3d,bev",
@@ -57,6 +59,7 @@ def main(argv=None) -> None:
                        score_threshold=args.score_threshold,
                        num_frames=args.num_frames,
                        num_points=args.num_points,
+                       batch_size=args.batch_size,
                        metrics=tuple(args.metrics.split(",")))
     print(json.dumps(results, indent=2))
 

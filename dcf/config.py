@@ -111,22 +111,25 @@ class FusionConfig:
     hidden_dim: int = 64          # MLP hidden width
     # Fused per-scale Pallas fusion kernel on TPU (jnp twin if False)
     use_pallas: bool = True
+    # Run the fusion kernel in Pallas interpret mode (the kernel
+    # "sanitizer", SURVEY.md 5.2) -- lets CPU tests exercise the real
+    # kernel path incl. slab-overflow accounting; never set on TPU.
+    pallas_interpret: bool = False
     pallas_tile_rows: int = 8     # BEV rows per kernel program (slab)
     # z1-table rows DMA'd per slab at the finest fusion scale; coarser
     # scales scale it by their stride ratio (their slabs span more rows).
     # Overflow (a slab's point range exceeding the cap) drops those
     # fusion pairs -- dcf.ops.pallas.fusion_kernel.slab_starts reports it.
     z_slab_cap: int = 2048
-    # Geometric feature channels fed to the MLP alongside image features:
-    # (dx, dy) pixel-center offset + point z + bev distance.
-    geo_channels: int = 4
+    # Geometric features fed to the MLP alongside image features are
+    # fixed at 4 channels ((dx, dy) pixel-center offset + point z + bev
+    # distance), hardcoded in the fusion kernel and its jnp twin.
 
 
 @dataclasses.dataclass(frozen=True)
 class BackboneConfig:
     """BEV conv backbone + FPN (SURVEY.md M2) and image ResNet (M1)."""
 
-    bev_stem_channels: int = 32
     # channels of the four BEV residual stages (strides 2, 4, 8, 16)
     bev_stage_channels: Tuple[int, ...] = (64, 128, 192, 256)
     # image ResNet stage channels (strides 4, 8, 16, 32)
@@ -178,6 +181,10 @@ class AugmentConfig:
     gt_sampling: bool = True
     # max objects pasted per class per frame by gt-sampling
     gt_sample_max: Tuple[int, ...] = (15, 8, 8)
+    # camera-consistent gt-sampling: paste the donor frame's projected
+    # image patch at the pasted box's projection (far-to-near) so the
+    # camera stream sees the pasted objects too (dcf/data/augment.py)
+    gt_sample_image_paste: bool = True
     global_rotation: float = 0.78539816  # +/- pi/4 uniform yaw jitter
     global_scale: Tuple[float, float] = (0.95, 1.05)
     max_boxes: int = 64           # static gt-box capacity per frame
@@ -282,10 +289,11 @@ def resolve_platform(cfg: Config, platform: str = None) -> Config:
         import jax
         platform = jax.default_backend()
     on_tpu = platform == "tpu"
+    keep_pallas = on_tpu or cfg.fusion.pallas_interpret
     return dataclasses.replace(
         cfg,
         fusion=dataclasses.replace(
-            cfg.fusion, use_pallas=cfg.fusion.use_pallas and on_tpu),
+            cfg.fusion, use_pallas=cfg.fusion.use_pallas and keep_pallas),
         pallas_clip=cfg.pallas_clip and on_tpu)
 
 
@@ -328,7 +336,7 @@ def tiny_config(with_fusion: bool = True) -> Config:
                         max_points=2048)
     image = ImageConfig(height=96, width=320)
     backbone = BackboneConfig(
-        bev_stem_channels=8, bev_stage_channels=(16, 24, 32, 48),
+        bev_stage_channels=(16, 24, 32, 48),
         image_stage_channels=(8, 16, 24, 32),
         image_blocks_per_stage=(1, 1, 1, 1), bev_blocks_per_stage=(1, 1, 1, 1),
         fpn_channels=32, fusion_strides=(2, 4, 8, 16) if with_fusion else (4,))

@@ -29,8 +29,14 @@ def run_eval(cfg: Config, model: ContFuseDetector, params, dataset,
              score_threshold: Optional[float] = None,
              num_frames: Optional[int] = None,
              num_points: int = 40,
+             batch_size: int = 8,
              metrics: Sequence[str] = ("3d", "bev")) -> Dict[str, float]:
     """Evaluate params over a dataset; returns the AP dict.
+
+    Frames are processed in device batches of `batch_size` (the last
+    batch is padded by repeating its first frame, padding discarded) —
+    one compiled executable, one host sync per batch instead of per
+    frame (~batch_size x fewer RPC round-trips on remote backends).
 
     num_points: 40 = official R40, 11 = legacy R11, 0 = exact
     area-under-PR (use for small synthetic splits, where the devkit's
@@ -46,25 +52,28 @@ def run_eval(cfg: Config, model: ContFuseDetector, params, dataset,
     gts: List[Annotation] = []
     dets: List[Annotation] = []
     n = len(dataset) if num_frames is None else min(num_frames, len(dataset))
-    for i in range(n):
-        frame = dataset[i]
-        batch = {k: jnp.asarray(v) for k, v in
-                 stack_examples([frame_to_example(frame, cfg)]).items()}
+    bs = max(1, min(batch_size, n))
+    for start in range(0, n, bs):
+        frames = [dataset[i] for i in range(start, min(start + bs, n))]
+        padded = frames + [frames[0]] * (bs - len(frames))
+        batch = {k: jnp.asarray(v) for k, v in stack_examples(
+            [frame_to_example(f, cfg) for f in padded]).items()}
         out = jax.device_get(infer(params, batch, pack))
-        keep = out["valid"][0] & (out["scores"][0] >= thr)
-        boxes = out["boxes"][0][keep]
-        scores = out["scores"][0][keep]
-        classes = out["classes"][0][keep]
-        dets.append(detection_annotation(
-            boxes, scores, classes, calib=frame.calib,
-            image_shape=frame.image.shape))
-        gts.append(annotation_from_frame(frame))
-        if result_dir:
-            names = [CLASS_NAMES[c] for c in classes]
-            write_kitti_result(
-                os.path.join(result_dir, frame.frame_id + ".txt"),
-                names, boxes, scores, frame.calib,
-                image_shape=frame.image.shape)
+        for j, frame in enumerate(frames):
+            keep = out["valid"][j] & (out["scores"][j] >= thr)
+            boxes = out["boxes"][j][keep]
+            scores = out["scores"][j][keep]
+            classes = out["classes"][j][keep]
+            dets.append(detection_annotation(
+                boxes, scores, classes, calib=frame.calib,
+                image_shape=frame.image.shape))
+            gts.append(annotation_from_frame(frame))
+            if result_dir:
+                names = [CLASS_NAMES[c] for c in classes]
+                write_kitti_result(
+                    os.path.join(result_dir, frame.frame_id + ".txt"),
+                    names, boxes, scores, frame.calib,
+                    image_shape=frame.image.shape)
 
     return evaluate_annotations(gts, dets, metrics=metrics,
                                 num_points=num_points)

@@ -461,10 +461,16 @@ def evaluate_annotations(gt_annos: Sequence[Annotation],
 # Simplified (box7 + difficulty) API, kept for synthetic pipelines/tests
 # --------------------------------------------------------------------------
 
-# 2D-box heights that place a gt exactly in a difficulty bucket (or below
-# every bucket for -1), letting difficulty-only callers reuse the devkit
-# core unchanged.
-_DIFFICULTY_HEIGHTS = {0: 50.0, 1: 30.0, 2: 26.0, -1: 10.0}
+# Difficulty-only callers reuse the devkit core by encoding the bucket
+# as the occlusion level: with MAX_OCCLUSION=(0,1,2), a gt with
+# occluded=d is beyond_cap at evaluated difficulty di exactly when
+# d > di -- the "ignore gts harder than the evaluated difficulty"
+# semantics. Heights alone cannot represent this (moderate and hard
+# share MIN_HEIGHT=25, so a height-encoded diff-2 gt would wrongly count
+# as valid at moderate). Difficulty -1 uses a short box (height 10 <=
+# every MIN_HEIGHT) so it is ignored at all difficulties.
+_IGNORE_HEIGHT = 10.0
+_VALID_HEIGHT = 50.0
 
 
 @dataclasses.dataclass
@@ -485,15 +491,16 @@ class FrameGroundTruth:
 
 def _gt_to_annotation(gt: FrameGroundTruth) -> Annotation:
     n = len(gt.boxes7)
-    heights = np.array([_DIFFICULTY_HEIGHTS[int(d)] for d in gt.difficulty]
-                       if n else [], np.float64)
+    diffs = np.asarray(gt.difficulty, np.int32).reshape(-1)
+    heights = np.where(diffs < 0, _IGNORE_HEIGHT, _VALID_HEIGHT)
+    occluded = np.maximum(diffs, 0).astype(np.float64)
     bbox2d = np.zeros((n, 4))
     bbox2d[:, 3] = heights
     bbox2d[:, 2] = 50.0
     return Annotation(
         names=[CLASS_NAMES[c] for c in gt.classes],
         boxes7=np.asarray(gt.boxes7, np.float64).reshape(-1, 7),
-        bbox2d=bbox2d, truncated=np.zeros(n), occluded=np.zeros(n))
+        bbox2d=bbox2d, truncated=np.zeros(n), occluded=occluded)
 
 
 def _det_to_annotation(det: FrameDetections) -> Annotation:

@@ -146,9 +146,9 @@ class ContinuousFusionLayer(nn.Module):
         # first-MLP-layer split: the image half is applied per point
         # (before selection); the geometric half is applied per pair
         # inside the kernel / twin
-        z1 = nn.Dense(hid, use_bias=False, dtype=jnp.bfloat16,
+        z1 = nn.Dense(hid, use_bias=False, dtype=dtype,
                       param_dtype=jnp.float32,
-                      name="img_proj")(pfeat.astype(jnp.bfloat16))
+                      name="img_proj")(pfeat.astype(dtype))
         wg = self.param("geo_kernel", nn.initializers.lecun_normal(),
                         (4, hid), jnp.float32)
         bg = self.param("geo_bias", nn.initializers.zeros_init(),
@@ -163,14 +163,24 @@ class ContinuousFusionLayer(nn.Module):
             TH, H_eff, _, _, _ = _plane_geometry(
                 H, W, r, fus.pallas_tile_rows)
             NS = H_eff // TH
-            z1t = jnp.transpose(z1, (0, 2, 1))                 # [B, hid, P]
+            # the fused kernel's z1 scratch is bf16 regardless of the
+            # model compute dtype (VMEM budget); cast at the boundary
+            z1t = jnp.transpose(z1.astype(jnp.bfloat16),
+                                (0, 2, 1))                     # [B, hid, P]
             z1t = jnp.pad(z1t, ((0, 0), (0, 0), (0, P_pad - P)))
-            starts, _overflow = jax.vmap(
+            starts, overflow = jax.vmap(
                 lambda fr: slab_starts(fr, NS, TH, r, ratio, capz,
                                        P_pad))(fine_row)
+            # Overflowing points fall outside the slab's z1 DMA window
+            # and would lose their fusion pairs; surface the count
+            # (collected into train metrics by the loss fn; the debug
+            # step checkify-raises on it instead of dropping silently).
+            self.sow("diagnostics", "slab_overflow",
+                     jnp.sum(overflow).astype(jnp.float32))
             acc = fused_fusion_planes(
                 binned, z1t, starts, wgt, bg2, origin, cell, K, H, W,
-                radius_cells=r, tile_rows=TH, capz=capz)
+                radius_cells=r, tile_rows=TH, capz=capz,
+                interpret=fus.pallas_interpret)
         else:
             acc = fused_fusion_reference(binned, z1, wgt, bg2, origin,
                                          cell, K, radius_cells=r)

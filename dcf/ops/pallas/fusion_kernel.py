@@ -430,8 +430,16 @@ def _bwd_impl(planes, z1t, starts, wgt, bg, dacc, origin, cell_size, k,
               bwd_chunk=4096):
     B, C, HID, TH, H_eff, TS, WP, NS = _sizes(planes, z1t, tile_rows,
                                               radius_cells, H, W)
-    CH = min(capz, bwd_chunk)
-    assert capz % CH == 0, (capz, CH)
+    # Chunk size must divide capz (the grid tiles it exactly) and stay
+    # lane-aligned; capz is always a multiple of 128 (round_up in
+    # slab_starts), so pick the largest 128-multiple divisor <= bwd_chunk
+    # instead of asserting (capz need not divide evenly into bwd_chunk,
+    # e.g. max_points=5000 -> capz=5120).
+    assert capz % 128 == 0, capz
+    m = capz // 128
+    d = max(dd for dd in range(1, min(m, bwd_chunk // 128) + 1)
+            if m % dd == 0)
+    CH = 128 * d
     NCH = capz // CH
     dacc = jnp.pad(dacc, ((0, 0), (0, 0), (0, H_eff - H), (0, 0)))
     kernel = functools.partial(

@@ -2,8 +2,14 @@
 (SURVEY.md M6 kernel #2 core; BASELINE.json:5 "per-BEV-pixel KNN ...
 fused into single Pallas kernels at each backbone scale").
 
-Replaces the jnp `knn_select_dense` twin (dcf.ops.knn) at each fusion
-scale: for every BEV pixel, the K nearest binned lidar points from the
+PARITY REFERENCE ONLY -- not on any production path. The production KNN
+lives inside the fused per-scale fusion kernel (fusion_kernel.py), which
+embeds the same insertion cascade; this standalone kernel is kept as the
+test-exercised stepping stone that documents and validates the cascade
+in isolation (tests/test_pallas.py). Do not wire it into the model.
+
+Standalone behavior -- the jnp `knn_select_dense` twin (dcf.ops.knn) at
+each fusion scale: for every BEV pixel, the K nearest binned lidar points from the
 (2r+1)^2-cell neighborhood, selected in ONE streaming pass with a
 vectorized insertion cascade -- no [H, W, 9C] distance materialization,
 no sorts, no gathers (the jnp twin's XLA lowerings -- top_k,

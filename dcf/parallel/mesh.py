@@ -19,6 +19,7 @@ import os
 from typing import Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -40,9 +41,8 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     Returns True if the distributed service was (already) initialized,
     False for the single-process fallback (no coordinator configured).
     """
-    from jax._src import distributed as _dist
-    if _dist.global_state.client is not None:       # already initialized
-        return True
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        return True                                 # already initialized
     coordinator_address = (coordinator_address
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
@@ -96,8 +96,29 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
 
 
 def replicate_state(state, mesh: Mesh):
+    """Replicate a host/device pytree onto the mesh.
+
+    Single-host: plain device_put. Multi-host: device_put cannot target
+    non-addressable shardings, so every leaf goes through
+    `jax.make_array_from_process_local_data` (each process contributes
+    the full value for a replicated spec); typed PRNG key arrays are
+    round-tripped through their uint32 key data, which that API (and
+    serialization generally) understands.
+    """
     rep = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+    if jax.process_count() <= 1:
+        return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+    def put(x):
+        if jnp.issubdtype(getattr(x, "dtype", np.float32),
+                          jax.dtypes.prng_key):
+            data = np.asarray(jax.random.key_data(x))
+            g = jax.make_array_from_process_local_data(rep, data)
+            return jax.jit(jax.random.wrap_key_data,
+                           out_shardings=rep)(g)
+        return jax.make_array_from_process_local_data(rep, np.asarray(x))
+
+    return jax.tree.map(put, state)
 
 
 def jit_train_step(train_step, mesh: Mesh):
@@ -128,8 +149,19 @@ def jit_train_step_debug(train_step, mesh: Mesh):
               | checkify.user_checks | checkify.div_checks)
     rep = replicated(mesh)
     data = batch_sharding(mesh)
+
+    def checked_step(state, batch, pack):
+        new_state, metrics = train_step(state, batch, pack)
+        if "slab_overflow" in metrics:
+            checkify.check(
+                metrics["slab_overflow"] <= 0,
+                "fusion z-slab overflow: {ov} pairs outside the DMA "
+                "window would be dropped; raise FusionConfig.z_slab_cap",
+                ov=metrics["slab_overflow"])
+        return new_state, metrics
+
     cstep = jax.jit(
-        checkify.checkify(train_step, errors=errors),
+        checkify.checkify(checked_step, errors=errors),
         in_shardings=(rep, data, rep),
         donate_argnums=(0,),
     )

@@ -27,7 +27,14 @@ from dcf.utils.logging import MetricsLogger
 
 class _ProcessShard:
     """Dataset view restricted to this host's stride (multi-host DP): host
-    p of n sees frames p, p+n, p+2n, ... so hosts read disjoint data."""
+    p of n sees frames p, p+n, p+2n, ... so hosts read disjoint data.
+
+    Step-based semantics, not epoch-exact: indexing wraps modulo the
+    underlying dataset, so for uneven dataset/process splits a host may
+    revisit a frame within what another host would call an "epoch", and
+    `len()` clamps to >= 1 so every host can always draw a batch. Fine
+    for the step-count training this framework does; an epoch-exact
+    notion would need drop-last/padding semantics instead."""
 
     def __init__(self, dataset, process_index: int, process_count: int):
         self.dataset = dataset
@@ -82,6 +89,9 @@ def train(cfg: Config, dataset, workdir: str,
     params = jax.jit(model.init)(jax.random.key(cfg.train.seed), init_batch)
     state = create_train_state(cfg, params, seed=cfg.train.seed)
 
+    # Multi-host resume assumes `workdir` is on a filesystem every
+    # process can read (NFS/GCS-fuse on TPU pods): proc 0 writes
+    # checkpoints, every process restores from the same path.
     ckpt_dir = os.path.join(workdir, "checkpoints")
     if resume:
         latest = ckpt.latest_checkpoint(ckpt_dir)

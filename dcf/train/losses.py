@@ -96,6 +96,8 @@ def metrics_from_sums(weighted: jnp.ndarray,
                "num_pos": sums["num_pos"]}
     if "dir_sum" in sums:
         metrics["loss_dir"] = sums["dir_sum"] / num_pos
+    if "slab_overflow" in sums:
+        metrics["slab_overflow"] = sums["slab_overflow"]
     total = weighted / num_pos
     metrics["loss"] = total
     return total, metrics

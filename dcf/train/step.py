@@ -47,7 +47,7 @@ def build_loss_fn(cfg: Config, model: ContFuseDetector):
                          else None)
 
     def loss_fn(params, batch, pack):
-        preds = model.apply(params, batch)
+        preds, diag = model.apply(params, batch, mutable="diagnostics")
         flat = flatten_predictions(preds, cfg)
         targets = assign_targets_batch(
             pack["boxes"], pack["classes"], pack["matched_thr"],
@@ -56,9 +56,26 @@ def build_loss_fn(cfg: Config, model: ContFuseDetector):
             grid_shape=grid_shape, grid_origin=grid_origin,
             grid_cell=grid_cell, per_class_anchors=per_class_anchors,
             use_pallas_clip=cfg.pallas_clip)
-        return detection_loss(flat, targets, cfg.loss)
+        loss, metrics = detection_loss(flat, targets, cfg.loss)
+        metrics.update(_diag_metrics(diag))
+        return loss, metrics
 
     return loss_fn
+
+
+def _diag_metrics(diag) -> Dict:
+    """Sowed per-layer diagnostics -> train metrics (stop-gradient sums).
+
+    Currently: "slab_overflow" = total fusion pairs whose z1 rows fell
+    outside the per-slab DMA window across all fusion scales (see
+    dcf.models.fusion / fusion_kernel.slab_starts). 0 on KITTI-scale
+    data with default caps; the debug step raises on nonzero.
+    """
+    leaves = jax.tree.leaves(diag)
+    if not leaves:
+        return {}
+    total = sum(jnp.sum(x) for x in leaves)
+    return {"slab_overflow": jax.lax.stop_gradient(total)}
 
 
 def build_loss_sums_fn(cfg: Config, model: ContFuseDetector):
@@ -75,7 +92,7 @@ def build_loss_sums_fn(cfg: Config, model: ContFuseDetector):
                          else None)
 
     def sums_fn(params, batch, pack):
-        preds = model.apply(params, batch)
+        preds, diag = model.apply(params, batch, mutable="diagnostics")
         flat = flatten_predictions(preds, cfg)
         targets = assign_targets_batch(
             pack["boxes"], pack["classes"], pack["matched_thr"],
@@ -84,7 +101,9 @@ def build_loss_sums_fn(cfg: Config, model: ContFuseDetector):
             grid_shape=grid_shape, grid_origin=grid_origin,
             grid_cell=grid_cell, per_class_anchors=per_class_anchors,
             use_pallas_clip=cfg.pallas_clip)
-        return detection_loss_sums(flat, targets, cfg.loss)
+        weighted, sums = detection_loss_sums(flat, targets, cfg.loss)
+        sums.update(_diag_metrics(diag))
+        return weighted, sums
 
     return sums_fn
 
@@ -144,6 +163,8 @@ def make_train_step(cfg: Config, model: ContFuseDetector
         zeros_s = {"cls_sum": 0.0, "reg_sum": 0.0, "num_pos": 0.0}
         if cfg.head.use_direction_classifier:
             zeros_s["dir_sum"] = 0.0
+        if cfg.with_fusion and cfg.fusion.use_pallas:
+            zeros_s["slab_overflow"] = 0.0
         zeros_s = {k: jnp.zeros((), jnp.float32) for k in zeros_s}
         (grads, weighted, sums), _ = jax.lax.scan(
             body, (zeros_g, jnp.zeros((), jnp.float32), zeros_s), micro)

@@ -37,6 +37,13 @@ def main():
     p.add_argument("--val-frames", type=int, default=16)
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--dir-weight", type=float, default=None,
+                   help="override LossConfig.dir_weight")
+    p.add_argument("--gt-db", action="store_true",
+                   help="build a gt-sampling db from the train frames "
+                        "and train with gt-sampling on")
+    p.add_argument("--image-paste", choices=("on", "off"), default="on",
+                   help="camera-consistent image pasting for gt-sampling")
     p.add_argument("--workdir", default="/tmp/dcf_gen")
     args = p.parse_args()
 
@@ -53,11 +60,26 @@ def main():
         cfg.train, batch_size=args.batch, num_steps=args.steps,
         learning_rate=args.lr, warmup_steps=min(150, args.steps // 10),
         checkpoint_every=args.steps, log_every=50))
+    if args.dir_weight is not None:
+        cfg = replace(cfg, loss=replace(cfg.loss,
+                                        dir_weight=args.dir_weight))
+    cfg = replace(cfg, augment=replace(
+        cfg.augment, gt_sampling=args.gt_db,
+        gt_sample_image_paste=args.image_paste == "on"))
 
     train_ds = VariedDataset(range(1000, 1000 + args.train_frames))
     val_ds = VariedDataset(range(2000, 2000 + args.val_frames))
 
-    state = train(cfg, train_ds, args.workdir)
+    gt_db = None
+    if args.gt_db:
+        from dcf.data.augment import GTDatabase
+        gt_db = GTDatabase.build(
+            (train_ds[i] for i in range(len(train_ds))), min_points=8,
+            with_image=True)
+        print("gt-db sizes:",
+              {k: len(v) for k, v in gt_db.db.items()}, flush=True)
+
+    state = train(cfg, train_ds, args.workdir, gt_db=gt_db)
     model = ContFuseDetector(cfg)
     import jax
     params = jax.device_get(state.params)

@@ -130,6 +130,56 @@ class TestGTSampling:
                     assert len(getattr(out, field)) == n, (field, seed)
         assert pasted_any
 
+    def test_camera_consistent_paste(self):
+        """VERDICT round-2 item 6: with gt_sample_image_paste on, pasted
+        objects change the target image exactly at their projections."""
+        from dataclasses import replace
+        from dcf.data.augment import _projected_rect
+        db = GTDatabase.build(
+            [synthetic.make_varied_frame(seed=i) for i in range(4)],
+            min_points=5, with_image=True)
+        assert any("patch" in o for objs in db.db.values() for o in objs)
+        frame = synthetic.make_varied_frame(seed=10)
+        cfg = tiny_config().augment
+        for seed in range(8):
+            rng_on = np.random.default_rng(seed)
+            rng_off = np.random.default_rng(seed)
+            out_on = gt_sample_frame(frame, db, cfg, rng_on)
+            out_off = gt_sample_frame(
+                frame, db, replace(cfg, gt_sample_image_paste=False),
+                rng_off)
+            n_new = len(out_on.boxes) - len(frame.boxes)
+            if n_new == 0:
+                continue
+            # identical sampling decisions, image differs only with paste
+            np.testing.assert_array_equal(out_on.boxes, out_off.boxes)
+            assert out_off.image is frame.image
+            changed = np.argwhere(
+                (out_on.image != frame.image).any(axis=-1))
+            if changed.size == 0:
+                continue   # every pasted object projected out of view
+            # every changed pixel lies inside some pasted box's rect
+            rects = [r for r in (
+                _projected_rect(b, frame.calib, frame.image.shape)
+                for b in out_on.boxes[len(frame.boxes):]) if r is not None]
+            assert rects
+            for v, u in changed[:: max(1, len(changed) // 50)]:
+                assert any(u0 <= u < u1 and v0 <= v < v1
+                           for u0, v0, u1, v1 in rects), (u, v)
+            return
+        raise AssertionError("no seed produced a pasted object")
+
+    def test_db_without_image_still_works(self):
+        db = GTDatabase.build(
+            [synthetic.make_varied_frame(seed=i) for i in range(4)],
+            min_points=5, with_image=False)
+        assert all("patch" not in o for objs in db.db.values()
+                   for o in objs)
+        frame = synthetic.make_varied_frame(seed=10)
+        out = gt_sample_frame(frame, db, tiny_config().augment,
+                              np.random.default_rng(1))
+        assert np.isfinite(out.boxes).all()
+
     def test_augment_frame_pipeline(self):
         frames = [synthetic.make_frame(seed=i) for i in range(2)]
         db = GTDatabase.build(frames, min_points=5)

@@ -248,6 +248,15 @@ class TestAP:
         assert r["Car_3d_easy"] == pytest.approx(1.0)
         assert r["Car_3d_hard"] == pytest.approx(1.0)
 
+    def test_difficulty2_ignored_at_moderate(self):
+        # A diff-2 gt must be IGNORED (not counted) at moderate: with only
+        # the diff-1 gt detected, moderate AP is 1.0, not 0.5.
+        gt = [_gt([_box(10, 0), _box(30, 5)], [0, 0], difficulty=[1, 2])]
+        det = [_det([_box(10, 0)], [0], [0.9])]
+        r = evaluate(gt, det, metric="3d", num_points=0)
+        assert r["Car_3d_moderate"] == pytest.approx(1.0)
+        assert r["Car_3d_hard"] == pytest.approx(0.5)
+
     def test_bev_more_forgiving_than_3d(self):
         gt = [_gt([_box(10, 0)], [0])]
         b = _box(10, 0)

@@ -112,6 +112,30 @@ class TestForward:
                                atol=1e-6)
 
 
+class TestStaticShapes:
+    def test_jit_cache_one_entry_per_batch_shape(self, fusion_setup):
+        """SURVEY.md 4.4 / VERDICT round-2 item 8: varied frames must NOT
+        retrace — frame-to-frame variation (point count, object count,
+        poses) is absorbed by padding/bucketing, so the jit cache holds
+        exactly one executable per batch shape."""
+        cfg, model, _, params = fusion_setup
+        infer = jax.jit(make_inference_fn(cfg, model))
+        pack = device_anchor_pack(cfg)
+        from dcf.data.synthetic import make_varied_frame
+        for seed in range(6):
+            b = {k: jnp.asarray(v) for k, v in stack_examples(
+                [frame_to_example(make_varied_frame(seed=seed), cfg)]
+            ).items()}
+            infer(params, b, pack).__class__   # execute
+        assert infer._cache_size() == 1
+        # a second batch shape adds exactly one more executable
+        b2 = {k: jnp.asarray(v) for k, v in stack_examples(
+            [frame_to_example(make_varied_frame(seed=7), cfg)] * 2
+        ).items()}
+        infer(params, b2, pack)
+        assert infer._cache_size() == 2
+
+
 class TestCapabilityConfigs:
     """One forward per BASELINE.json config milestone (1/2/3 shapes)."""
 

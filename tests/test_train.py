@@ -220,6 +220,56 @@ class TestGeneralization:
         assert r["Car_bev_moderate_exact"] >= r["Car_3d_moderate_exact"]
 
 
+class TestSlabOverflow:
+    """VERDICT round-2 item 7: fusion slab overflow must be surfaced,
+    not silently dropped -- as a train metric always, and as a checkify
+    error in the debug step."""
+
+    def _setup(self, z_slab_cap):
+        from dataclasses import replace
+        cfg = tiny_config(with_fusion=True)
+        # run the REAL pallas kernel path in interpret mode on CPU so
+        # slab_starts / overflow accounting is exercised
+        cfg = replace(cfg, fusion=replace(
+            cfg.fusion, use_pallas=True, pallas_interpret=True,
+            z_slab_cap=z_slab_cap))
+        model = ContFuseDetector(cfg)
+        frame = make_frame(seed=0)
+        batch_np = stack_examples([frame_to_example(frame, cfg)] * 2)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        params = jax.jit(model.init)(jax.random.key(0), batch)
+        pack = {k: jnp.asarray(v) for k, v in anchor_pack(cfg).items()}
+        return cfg, model, batch, batch_np, params, pack
+
+    def test_metric_reported_and_zero_at_default_cap(self):
+        cfg, model, batch, _, params, pack = self._setup(z_slab_cap=2048)
+        step = jax.jit(make_train_step(cfg, model))
+        from dcf.train.state import create_train_state
+        state = create_train_state(cfg, params)
+        _, metrics = step(state, batch, pack)
+        assert "slab_overflow" in metrics
+        assert float(metrics["slab_overflow"]) == 0.0
+
+    def test_undersized_cap_counts_and_debug_step_raises(self):
+        cfg, model, batch, batch_np, params, pack = self._setup(
+            z_slab_cap=128)
+        state = create_train_state(cfg, params)
+        step = jax.jit(make_train_step(cfg, model))
+        _, metrics = step(state, batch, pack)
+        assert float(metrics["slab_overflow"]) > 0   # counted, not hidden
+
+        mesh = pmesh.make_mesh(num_data=1, devices=jax.devices()[:1])
+        state = pmesh.replicate_state(
+            create_train_state(cfg, jax.tree.map(jnp.array, params)), mesh)
+        packm = pmesh.replicate_state(
+            {k: jnp.asarray(v) for k, v in pack.items()}, mesh)
+        batchm = pmesh.shard_batch(batch_np, mesh)
+        dstep = pmesh.jit_train_step_debug(make_train_step(cfg, model),
+                                           mesh)
+        with pytest.raises(Exception, match="z-slab overflow"):
+            dstep(state, batchm, packm)
+
+
 class TestGradientAccumulation:
     def test_accum_matches_full_batch(self):
         """accum_steps=2 must produce the same update as the full batch:
