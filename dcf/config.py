@@ -119,8 +119,12 @@ class FusionConfig:
     # z1-table rows DMA'd per slab at the finest fusion scale; coarser
     # scales scale it by their stride ratio (their slabs span more rows).
     # Overflow (a slab's point range exceeding the cap) drops those
-    # fusion pairs -- dcf.ops.pallas.fusion_kernel.slab_starts reports it.
-    z_slab_cap: int = 2048
+    # fusion pairs; it is surfaced as the `slab_overflow` train metric
+    # and the debug step raises on it. 1536 measured overflow-free over
+    # the 64-frame varied bench pool at every scale (2048 previously;
+    # the backward's one-hot dz1 matmul work scales with this cap, so
+    # smaller is faster).
+    z_slab_cap: int = 1536
     # Geometric features fed to the MLP alongside image features are
     # fixed at 4 channels ((dx, dy) pixel-center offset + point z + bev
     # distance), hardcoded in the fusion kernel and its jnp twin.

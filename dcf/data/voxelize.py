@@ -66,15 +66,21 @@ def crop_and_pad(points: np.ndarray, cfg: VoxelConfig,
 
 
 def rasterize_bev(points: jnp.ndarray, mask: jnp.ndarray,
-                  cfg: VoxelConfig) -> jnp.ndarray:
+                  cfg: VoxelConfig, dtype=jnp.float32) -> jnp.ndarray:
     """Scatter padded points into the BEV pseudo-image (jnp reference).
 
     Args:
       points: [P, 4] (x, y, z, intensity), zero-padded.
       mask: [P] bool validity.
+      dtype: output (and occupancy-scatter) dtype. The detector passes
+        its compute dtype (bf16): the pseudo-image is 47 MB/frame in
+        fp32, and scattering/reshaping/concatenating it in bf16 halves
+        the rasterizer's HBM traffic with zero information loss
+        (occupancy is exactly 0/1; intensity still accumulates in fp32
+        and only the final mean is cast).
 
     Returns:
-      [grid_x, grid_y, num_z_slices + 1] float32 pseudo-image:
+      [grid_x, grid_y, num_z_slices + 1] `dtype` pseudo-image:
       channels [0, nz) are per-slice occupancy, channel nz is the mean
       intensity of the points in the BEV cell (0 where empty).
     """
@@ -93,8 +99,8 @@ def rasterize_bev(points: jnp.ndarray, mask: jnp.ndarray,
     voxel = jnp.where(inb, voxel, gx * gy * nz)
     cell_i = jnp.where(inb, cell, gx * gy)
 
-    occ = jnp.zeros((gx * gy * nz,), jnp.float32)
-    occ = occ.at[voxel].max(1.0, mode="drop")
+    occ = jnp.zeros((gx * gy * nz,), dtype)
+    occ = occ.at[voxel].max(jnp.asarray(1.0, dtype), mode="drop")
     occ = occ.reshape(gx, gy, nz)
 
     inten_sum = jnp.zeros((gx * gy,), jnp.float32)
@@ -104,10 +110,11 @@ def rasterize_bev(points: jnp.ndarray, mask: jnp.ndarray,
     count = count.at[cell_i].add(jnp.where(inb, 1.0, 0.0), mode="drop")
     inten = (inten_sum / jnp.maximum(count, 1.0)).reshape(gx, gy, 1)
 
-    return jnp.concatenate([occ, inten], axis=-1)
+    return jnp.concatenate([occ, inten.astype(dtype)], axis=-1)
 
 
 def rasterize_bev_batch(points: jnp.ndarray, mask: jnp.ndarray,
-                        cfg: VoxelConfig) -> jnp.ndarray:
+                        cfg: VoxelConfig, dtype=jnp.float32) -> jnp.ndarray:
     """[B, P, 4] x [B, P] -> [B, gx, gy, C]."""
-    return jax.vmap(lambda p, m: rasterize_bev(p, m, cfg))(points, mask)
+    return jax.vmap(lambda p, m: rasterize_bev(p, m, cfg, dtype))(points,
+                                                                  mask)

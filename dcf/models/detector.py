@@ -49,7 +49,8 @@ class ContFuseDetector(nn.Module):
         # rasterizer (a Pallas slab kernel measured 3x slower on v5e and
         # was retired -- see VoxelConfig's note)
         pseudo = rasterize_bev_batch(batch["points"],
-                                     batch["point_mask"], cfg.voxel)
+                                     batch["point_mask"], cfg.voxel,
+                                     dtype=dtype)
 
         img_feats = None
         if cfg.with_camera:
@@ -66,7 +67,7 @@ class ContFuseDetector(nn.Module):
         # no stride-1 stem: a full-resolution conv + norm over the
         # 704x800 grid costs ~2.5 ms for little accuracy benefit; stage 0
         # (stride 2) consumes the pseudo-image directly
-        x = pseudo.astype(dtype)
+        x = pseudo
         feats: Dict[int, jnp.ndarray] = {}
         stride = 1
         for stage, channels in enumerate(cfg.backbone.bev_stage_channels):

@@ -114,15 +114,26 @@ class ContinuousFusionLayer(nn.Module):
         B, P = points.shape[:2]
         hid = fus.hidden_dim
 
-        def prepare(pts, msk, proj, ifeat):
+        # The image half of the first MLP layer is applied to the image
+        # FEATURE MAP (a 1x1-conv-shaped Dense), and the per-point
+        # bilinear sample reads the projected hid-wide map instead of
+        # the C-wide pyramid level: bilinear interpolation commutes
+        # exactly with a per-channel linear map, and the narrow map
+        # shrinks the patch build and the backward scatter by C/hid
+        # (up to 8x at the coarse scales).
+        z1_map = nn.Dense(hid, use_bias=False, dtype=dtype,
+                          param_dtype=jnp.float32,
+                          name="img_proj")(image_feat.astype(dtype))
+
+        def prepare(pts, msk, proj, zmap):
             # Image features are sampled once per *point* (P rows), not
             # per (pixel, neighbor) pair (H*W*K rows, ~20x more): each
             # point projects to a single image location, so per-pair work
             # reduces to the in-kernel one-hot selection after KNN.
             uvz = project_velo_to_image(pts[:, :3], proj)       # [P, 3]
             in_front = uvz[..., 2] > 0.1
-            pfeat, inside = bilinear_sample(
-                ifeat, uvz[..., :2] / float(self.image_stride))  # [P, C]
+            z1p, inside = bilinear_sample(
+                zmap, uvz[..., :2] / float(self.image_stride))  # [P, hid]
             img_ok = msk & in_front & inside                     # [P]
 
             # bin payload: (x, y, z, sorted index as f32 — exact to 2^24)
@@ -131,24 +142,26 @@ class ContinuousFusionLayer(nn.Module):
                  jnp.arange(P, dtype=jnp.float32)[:, None]], axis=-1)
             if fus.use_pallas:
                 # scatter straight into the kernel's plane layout (no
-                # [H, W, C, D] bins + per-scale transpose on the hot path)
+                # [H, W, C, D] bins + per-scale transpose on the hot
+                # path); at the finest fusion scale the incoming points
+                # are ALREADY sorted by this scale's cells (the fine
+                # sort), so the per-scale argsort is skipped there
                 binned = bin_points_planes(
                     payload, img_ok, origin, cell, (H, W),
-                    fus.bin_capacity, r, fus.pallas_tile_rows)
+                    fus.bin_capacity, r, fus.pallas_tile_rows,
+                    presorted=(self.bev_stride
+                               == min(cfg.backbone.fusion_strides)))
             else:
                 binned = bin_points_dense(payload, img_ok, origin, cell,
                                           (H, W), fus.bin_capacity)
-            return binned, pfeat
+            return binned, z1p
 
-        binned, pfeat = jax.vmap(prepare)(points, mask,
-                                          velo_to_image, image_feat)
+        # first-MLP-layer split: the image half (already applied to the
+        # map above) is realized per point by the bilinear sample; the
+        # geometric half is applied per pair inside the kernel / twin
+        binned, z1 = jax.vmap(prepare)(points, mask,
+                                       velo_to_image, z1_map)
 
-        # first-MLP-layer split: the image half is applied per point
-        # (before selection); the geometric half is applied per pair
-        # inside the kernel / twin
-        z1 = nn.Dense(hid, use_bias=False, dtype=dtype,
-                      param_dtype=jnp.float32,
-                      name="img_proj")(pfeat.astype(dtype))
         wg = self.param("geo_kernel", nn.initializers.lecun_normal(),
                         (4, hid), jnp.float32)
         bg = self.param("geo_bias", nn.initializers.zeros_init(),

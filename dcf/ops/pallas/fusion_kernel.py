@@ -78,7 +78,8 @@ def _plane_geometry(H: int, W: int, r: int, tile_rows: int):
 
 def bin_points_planes(points: jnp.ndarray, mask: jnp.ndarray,
                       origin, cell_size: float, grid_hw,
-                      capacity: int, r: int, tile_rows: int) -> jnp.ndarray:
+                      capacity: int, r: int, tile_rows: int,
+                      presorted: bool = False) -> jnp.ndarray:
     """Scatter point payloads DIRECTLY into the kernel's plane layout.
 
     Equivalent to `build_planes(bin_points_dense(...))` (parity-tested)
@@ -104,19 +105,49 @@ def bin_points_planes(points: jnp.ndarray, mask: jnp.ndarray,
     inb = mask & (ix >= 0) & (ix < H) & (iy >= 0) & (iy < W)
     cell = jnp.where(inb, ix * W + iy, H * W)
 
-    order = jnp.argsort(cell)
-    sorted_cell = cell[order]
-    rank = _rank_within_runs(sorted_cell)
-    ok = (rank < C) & (sorted_cell < H * W)
-    six = ix[order] + r
-    siy = iy[order] + r
+    if presorted:
+        # Caller guarantees points arrive grouped by this scale's cells
+        # (true at the finest fusion scale: its cells ARE the fine
+        # sort's cells) -- skips a [P] argsort per scale on the hot
+        # path. `mask` (image-visibility) does NOT follow the grouping,
+        # so a plain run-rank over `cell` would restart at masked
+        # points and collide slots; rank masked-aware instead: count
+        # only valid points within each contiguous cell group
+        # (segmented exclusive cumsum). Identical slot assignment to
+        # the stable-argsort path, which also keeps valid points in
+        # arrival order.
+        group = jnp.where((ix >= 0) & (ix < H) & (iy >= 0) & (iy < W),
+                          ix * W + iy, H * W)
+        start = jnp.concatenate(
+            [jnp.ones((1,), bool), group[1:] != group[:-1]])
+        valid32 = inb.astype(jnp.int32)
+
+        def seg_op(a, b):
+            return (a[0] | b[0],
+                    jnp.where(b[0], b[1], a[1] + b[1]))
+
+        _, incl = jax.lax.associative_scan(seg_op, (start, valid32))
+        rank = incl - valid32
+        sorted_cell = jnp.where(inb, group, H * W)
+        six = ix + r
+        siy = iy + r
+        spoints = points
+        ok = (rank < C) & (sorted_cell < H * W)
+    else:
+        order = jnp.argsort(cell)
+        sorted_cell = cell[order]
+        six = ix[order] + r
+        siy = iy[order] + r
+        spoints = points[order]
+        rank = _rank_within_runs(sorted_cell)
+        ok = (rank < C) & (sorted_cell < H * W)
     # spatial offset of the point's cell inside one [RP, WP] plane
     spatial = (rank * RP + six) * WP + siy                      # [P]
     plane = C * RP * WP
     iota = jnp.arange(P, dtype=jnp.int32)
     base = jnp.where(ok, spatial, (D + 1) * plane + iota)       # drop slot
     vals = jnp.concatenate(
-        [points[order].T.reshape(-1),                           # [D * P]
+        [spoints.T.reshape(-1),                                 # [D * P]
          jnp.ones((P,), points.dtype)], axis=0)                 # validity
     idx = jnp.concatenate(
         [base[None, :] + plane * jnp.arange(D + 1,
@@ -176,7 +207,8 @@ def slab_starts(fine_row: jnp.ndarray, num_slabs: int, tile_rows: int,
 
 def _fwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref,
                 out_ref, scr, z1scr, sem_p, sem_z, *,
-                TH, TS, W, WP, C, K, r, HID, CAPZ, origin, cell_size):
+                TH, TS, W, WP, C, K, r, HID, CAPZ, origin, cell_size,
+                STASH=False):
     # wsmall packs the small params lane-padded (tiny-minor-dim blocks
     # crash the Mosaic compiler): cols 0:4 = wgt [hid, 4], col 4 = bg
     b = pl.program_id(0)
@@ -261,68 +293,53 @@ def _fwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref,
             cnt = cnt + okf
         out_ref[0, :HID, rr, :] = acc
         out_ref[0, HID:HID + 1, rr, :] = cnt
+        if STASH:
+            # stash the cascade's selections for the backward (training
+            # path): per k, (px, py, pz, gidx, d2) as 5 extra channels.
+            # The backward then skips the planes DMA and the whole
+            # KNN cascade recompute.
+            for k in range(K):
+                base = HID + 1 + 5 * k
+                out_ref[0, base + 0:base + 1, rr, :] = \
+                    top_p[k][0][rr:rr + 1, :W]
+                out_ref[0, base + 1:base + 2, rr, :] = \
+                    top_p[k][1][rr:rr + 1, :W]
+                out_ref[0, base + 2:base + 3, rr, :] = \
+                    top_p[k][2][rr:rr + 1, :W]
+                out_ref[0, base + 3:base + 4, rr, :] = \
+                    top_p[k][3][rr:rr + 1, :W]
+                out_ref[0, base + 4:base + 5, rr, :] = \
+                    top_d[k][rr:rr + 1, :W]
 
 
 # --------------------------------------------------------------------------
-# backward kernel: recompute cascade + pre-activations, then MXU
-# segment-sums (transposed one-hot matmuls) for d_z1 / d_wg / d_bg
+# backward kernel: read the forward's stashed (point, distance)
+# selections, rebuild pre-activations, then MXU segment-sums
+# (transposed one-hot matmuls) for d_z1 / d_wg / d_bg
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref, dacc_ref,
-                dz1_ref, dsmall_ref, scr, z1scr, sem_p, sem_z, *,
-                TH, TS, W, WP, C, K, r, HID, CAPZ, CH, origin, cell_size):
+def _bwd_kernel(starts_ref, z1t_hbm, wsmall_ref, dacc_ref, stash_ref,
+                dz1_ref, dsmall_ref, z1scr, sem_z, *,
+                TH, W, K, HID, CH, origin, cell_size):
     # grid (B, NS, CAPZ // CH): the chunk axis bounds per-program VMEM.
     # Every valid (pixel, neighbor) pair's z1 row lies in exactly one
     # CH-row chunk of the slab window, so the chunks PARTITION the pairs:
-    # each program re-runs the (cheap) cascade, restricts to its own
+    # each program reads the forward's stashed per-(pixel, k) selections
+    # (no planes DMA, no cascade recompute), restricts to its own
     # chunk's pairs, and computes that chunk's d_z1 plus its share of
     # d_wg/d_bg with a chunk-sized z1 slab -- coarse scales (large capz =
     # big slab coverage in fine rows) stay far under the 16 MB VMEM
-    # budget that a full-window [HID, capz] f32 accumulator + one-hot
-    # recompute blows through.
+    # budget that a full-window [HID, capz] f32 accumulator would need.
     b = pl.program_id(0)
     ti = pl.program_id(1)
     ch = pl.program_id(2)
     start = starts_ref[b, ti]
     start = pl.multiple_of(start, 128)
 
-    cp = pltpu.make_async_copy(
-        planes_hbm.at[b, :, :, pl.ds(ti * TH, TS), :], scr, sem_p)
     cz = pltpu.make_async_copy(
         z1t_hbm.at[b, :, pl.ds(start + ch * CH, CH)], z1scr, sem_z)
-    cp.start()
     cz.start()
-    cp.wait()
     cz.wait()
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TH, WP), 0) + ti * TH
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TH, WP), 1)
-    cx = origin[0] + (rows.astype(jnp.float32) + 0.5) * cell_size
-    cy = origin[1] + (cols.astype(jnp.float32) + 0.5) * cell_size
-
-    top_d = [jnp.full((TH, WP), _BIG, jnp.float32) for _ in range(K)]
-    top_p = [[jnp.zeros((TH, WP), jnp.float32) for _ in range(_D)]
-             for _ in range(K)]
-    win = 2 * r + 1
-    for c in range(C):
-        fields = [scr[f, c] for f in range(_D + 1)]
-        for di in range(win):
-            for dj in range(win):
-                sh = [_roll2(f, di, dj)[:TH, :] for f in fields]
-                v = sh[_D] > 0.5
-                ddx = sh[0] - cx
-                ddy = sh[1] - cy
-                d = jnp.where(v, ddx * ddx + ddy * ddy, jnp.float32(_BIG))
-                p = sh[:_D]
-                for k in range(K):
-                    closer = d < top_d[k]
-                    new_d = jnp.minimum(d, top_d[k])
-                    d = jnp.maximum(d, top_d[k])
-                    top_d[k] = new_d
-                    for f in range(_D):
-                        new_f = jnp.where(closer, p[f], top_p[k][f])
-                        p[f] = jnp.where(closer, top_p[k][f], p[f])
-                        top_p[k][f] = new_f
 
     iota_ch = jax.lax.broadcasted_iota(jnp.int32, (CH, W), 0)
     cyr = origin[1] + (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
@@ -337,18 +354,21 @@ def _bwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref, dacc_ref,
         cxr = (origin[0]
                + ((ti * TH + rr).astype(jnp.float32) + 0.5) * cell_size)
         for k in range(K):
-            d_r = top_d[k][rr:rr + 1, :W]
+            base = 5 * k
+            px = stash_ref[0, base + 0, rr:rr + 1, :]         # [1, W]
+            py = stash_ref[0, base + 1, rr:rr + 1, :]
+            pz = stash_ref[0, base + 2, rr:rr + 1, :]
+            gidx = stash_ref[0, base + 3, rr:rr + 1, :]
+            d_r = stash_ref[0, base + 4, rr:rr + 1, :]
             pairok = d_r < _BIG
-            lidx = top_p[k][3][rr:rr + 1, :W] - basef
+            lidx = gidx - basef
             ok = pairok & (lidx >= 0) & (lidx < CH)
             key = jnp.where(ok, lidx, -1.0).astype(jnp.int32)
             oh = (iota_ch == key).astype(jnp.bfloat16)        # [CH, W]
             z1sel = jax.lax.dot_general(
                 z1scr[:], oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            geo = (top_p[k][0][rr:rr + 1, :W] - cxr,
-                   top_p[k][1][rr:rr + 1, :W] - cyr,
-                   top_p[k][2][rr:rr + 1, :W],
+            geo = (px - cxr, py - cyr, pz,
                    jnp.sqrt(jnp.minimum(d_r, 1e6)))
             g1 = wsmall_ref[:, 4:5]
             for f in range(4):
@@ -393,12 +413,19 @@ def _pack_small(wgt, bg):
 
 
 def _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
-              radius_cells, tile_rows, capz, H, W, interpret):
+              radius_cells, tile_rows, capz, H, W, interpret,
+              stash=False):
+    """stash=True (training path) widens the output by 5*K channels
+    carrying each pixel's selected (px, py, pz, gidx, d2) per neighbor,
+    and returns the FULL H_eff rows -- the backward consumes them in
+    place of re-running the KNN cascade."""
     B, C, HID, TH, H_eff, TS, WP, NS = _sizes(planes, z1t, tile_rows,
                                               radius_cells, H, W)
+    OC = HID + 1 + (5 * k if stash else 0)
     kernel = functools.partial(
         _fwd_kernel, TH=TH, TS=TS, W=W, WP=WP, C=C, K=k, r=radius_cells,
-        HID=HID, CAPZ=capz, origin=origin, cell_size=cell_size)
+        HID=HID, CAPZ=capz, origin=origin, cell_size=cell_size,
+        STASH=stash)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, NS),
@@ -407,7 +434,7 @@ def _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, HID + 1, TH, W),
+        out_specs=pl.BlockSpec((1, OC, TH, W),
                                lambda b, i, *_: (b, 0, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((_D + 1, C, TS, WP), jnp.float32),
@@ -419,17 +446,22 @@ def _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, HID + 1, H_eff, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, OC, H_eff, W), jnp.float32),
         interpret=interpret,
     )(starts, planes, z1t, _pack_small(wgt, bg))
+    if stash:
+        return out                     # caller splits value / stash
     return out[:, :, :H]
 
 
-def _bwd_impl(planes, z1t, starts, wgt, bg, dacc, origin, cell_size, k,
+def _bwd_impl(stash, z1t, starts, wgt, bg, dacc, origin, cell_size, k,
               radius_cells, tile_rows, capz, H, W, interpret,
               bwd_chunk=4096):
-    B, C, HID, TH, H_eff, TS, WP, NS = _sizes(planes, z1t, tile_rows,
-                                              radius_cells, H, W)
+    """stash: [B, 5*k, H_eff, W] forward-stashed selections."""
+    B = z1t.shape[0]
+    HID = z1t.shape[1]
+    TH, H_eff, TS, WP, RP = _plane_geometry(H, W, radius_cells, tile_rows)
+    NS = H_eff // TH
     # Chunk size must divide capz (the grid tiles it exactly) and stay
     # lane-aligned; capz is always a multiple of 128 (round_up in
     # slab_starts), so pick the largest 128-multiple divisor <= bwd_chunk
@@ -437,22 +469,23 @@ def _bwd_impl(planes, z1t, starts, wgt, bg, dacc, origin, cell_size, k,
     # e.g. max_points=5000 -> capz=5120).
     assert capz % 128 == 0, capz
     m = capz // 128
-    d = max(dd for dd in range(1, min(m, bwd_chunk // 128) + 1)
+    d = max(dd for dd in range(1, min(m, max(bwd_chunk // 128, 1)) + 1)
             if m % dd == 0)
     CH = 128 * d
     NCH = capz // CH
     dacc = jnp.pad(dacc, ((0, 0), (0, 0), (0, H_eff - H), (0, 0)))
     kernel = functools.partial(
-        _bwd_kernel, TH=TH, TS=TS, W=W, WP=WP, C=C, K=k, r=radius_cells,
-        HID=HID, CAPZ=capz, CH=CH, origin=origin, cell_size=cell_size)
+        _bwd_kernel, TH=TH, W=W, K=k, HID=HID, CH=CH, origin=origin,
+        cell_size=cell_size)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, NS, NCH),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HID, TH, W), lambda b, i, c, *_: (b, 0, i, 0)),
+            pl.BlockSpec((1, 5 * k, TH, W),
+                         lambda b, i, c, *_: (b, 0, i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, 1, HID, CH),
@@ -461,9 +494,7 @@ def _bwd_impl(planes, z1t, starts, wgt, bg, dacc, origin, cell_size, k,
                          lambda b, i, c, *_: (b, i, c, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_D + 1, C, TS, WP), jnp.float32),
             pltpu.VMEM((HID, CH), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -475,7 +506,7 @@ def _bwd_impl(planes, z1t, starts, wgt, bg, dacc, origin, cell_size, k,
             jax.ShapeDtypeStruct((B, NS, NCH, HID, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(starts, planes, z1t, _pack_small(wgt, bg), dacc)
+    )(starts, z1t, _pack_small(wgt, bg), dacc, stash)
 
     # chunks are contiguous along the slab window: [NCH, HID, CH] ->
     # [HID, capz], then combine per-slab ranges (they overlap only in
@@ -501,32 +532,41 @@ def _bwd_impl(planes, z1t, starts, wgt, bg, dacc, origin, cell_size, k,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11,
-                                                    12, 13, 14))
+                                                    12, 13, 14, 15))
 def _fused_fusion_p(planes, z1t, starts, wgt, bg, origin, cell_size, k,
                     radius_cells, tile_rows, capz, H, W, interpret,
-                    bwd_chunk):
+                    bwd_chunk, plane_capacity):
     return _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
                      radius_cells, tile_rows, capz, H, W, interpret)
 
 
 def _fused_fusion_fwd(planes, z1t, starts, wgt, bg, origin, cell_size, k,
                       radius_cells, tile_rows, capz, H, W, interpret,
-                      bwd_chunk):
-    out = _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
-                    radius_cells, tile_rows, capz, H, W, interpret)
-    return out, (planes, z1t, starts, wgt, bg)
+                      bwd_chunk, plane_capacity):
+    HID = z1t.shape[1]
+    full = _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
+                     radius_cells, tile_rows, capz, H, W, interpret,
+                     stash=True)
+    out = full[:, :HID + 1, :H]
+    stash = full[:, HID + 1:]              # [B, 5k, H_eff, W]
+    # planes carry no cotangent (stop_gradient upstream) and are NOT
+    # kept as a residual -- that would pin ~30 MB of HBM per scale; the
+    # backward rebuilds the zero from static geometry + plane_capacity
+    return out, (stash, z1t, starts, wgt, bg)
 
 
 def _fused_fusion_bwd(origin, cell_size, k, radius_cells, tile_rows, capz,
-                      H, W, interpret, bwd_chunk, res, g):
-    planes, z1t, starts, wgt, bg = res
+                      H, W, interpret, bwd_chunk, plane_capacity, res, g):
+    stash, z1t, starts, wgt, bg = res
     # g: [B, HID+1, H, W]; the count channel's cotangent carries no
     # parameter dependence (count = sum of geometric masks)
     dz1t, dwgt, dbg = _bwd_impl(
-        planes, z1t, starts, wgt, bg, g[:, :z1t.shape[1]], origin,
+        stash, z1t, starts, wgt, bg, g[:, :z1t.shape[1]], origin,
         cell_size, k, radius_cells, tile_rows, capz, H, W, interpret,
         bwd_chunk)
-    return (jnp.zeros_like(planes),
+    _, _, _, WP, RP = _plane_geometry(H, W, radius_cells, tile_rows)
+    return (jnp.zeros((stash.shape[0], _D + 1, plane_capacity, RP, WP),
+                      jnp.float32),
             dz1t,
             np.zeros(starts.shape, jax.dtypes.float0),
             dwgt.astype(wgt.dtype), dbg.astype(bg.dtype))
@@ -578,7 +618,7 @@ def fused_fusion_planes(planes: jnp.ndarray, z1t: jnp.ndarray,
     planes = jax.lax.stop_gradient(planes)
     out = _fused_fusion_p(planes, z1t, starts, wgt, bg, origin, cell_size,
                           k, radius_cells, tile_rows, capz, H, W, interpret,
-                          bwd_chunk)
+                          bwd_chunk, planes.shape[2])
     return jnp.transpose(out, (0, 2, 3, 1))
 
 

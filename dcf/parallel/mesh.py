@@ -136,17 +136,25 @@ def jit_train_step(train_step, mesh: Mesh):
     )
 
 
-def jit_train_step_debug(train_step, mesh: Mesh):
+def jit_train_step_debug(train_step, mesh: Mesh, errors=None):
     """Debug twin of jit_train_step: the step runs under
-    `jax.experimental.checkify` (NaN / out-of-bounds / div-by-zero checks,
-    SURVEY.md section 5.2) and raises on the host with the failing check's
-    source location. Slower (extra error state + a per-step host fetch);
-    never used on the production path.
+    `jax.experimental.checkify` (user checks -- e.g. the fusion
+    slab-overflow guard -- and div-by-zero, SURVEY.md section 5.2) and
+    raises on the host with the failing check's source location. Slower
+    (extra error state + a per-step host fetch); never used on the
+    production path.
+
+    float/index checks are NOT enabled by default: jax's
+    pallas_call checkify rule mis-types the grid-loop carry for kernels
+    with mixed-dtype scratch (fp32 planes + bf16 z1 in the fused fusion
+    kernel), raising a TypeError at trace time. Pass
+    `errors=checkify.all_checks` explicitly for configs that run the
+    jnp twins (fusion.use_pallas=False, pallas_clip=False).
     """
     from jax.experimental import checkify
 
-    errors = (checkify.float_checks | checkify.index_checks
-              | checkify.user_checks | checkify.div_checks)
+    if errors is None:
+        errors = checkify.user_checks | checkify.div_checks
     rep = replicated(mesh)
     data = batch_sharding(mesh)
 

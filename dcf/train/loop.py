@@ -102,9 +102,17 @@ def train(cfg: Config, dataset, workdir: str,
     state = pmesh.replicate_state(state, mesh)
     pack = pmesh.replicate_state(
         {k: jnp.asarray(v) for k, v in anchor_pack(cfg).items()}, mesh)
-    jitter = (pmesh.jit_train_step_debug if debug
-              else pmesh.jit_train_step)
-    step_fn = jitter(make_train_step(cfg, model), mesh)
+    if debug:
+        # full float/index checks only when no Pallas kernel is in the
+        # graph (see jit_train_step_debug's docstring)
+        from jax.experimental import checkify
+        has_pallas = (cfg.with_fusion and cfg.fusion.use_pallas
+                      ) or cfg.pallas_clip
+        step_fn = pmesh.jit_train_step_debug(
+            make_train_step(cfg, model), mesh,
+            errors=None if has_pallas else checkify.all_checks)
+    else:
+        step_fn = pmesh.jit_train_step(make_train_step(cfg, model), mesh)
 
     logger = MetricsLogger(os.path.join(workdir, "metrics.jsonl"))
     total = num_steps if num_steps is not None else cfg.train.num_steps

@@ -45,6 +45,9 @@ def main():
     p.add_argument("--image-paste", choices=("on", "off"), default="on",
                    help="camera-consistent image pasting for gt-sampling")
     p.add_argument("--workdir", default="/tmp/dcf_gen")
+    p.add_argument("--preset", choices=("base", "fast"), default="base",
+                   help="fast = width/depth-cut backbone trial "
+                        "(VERDICT round-2 item 2 model-math cuts)")
     args = p.parse_args()
 
     from dataclasses import replace
@@ -56,6 +59,15 @@ def main():
     from dcf.train.state import create_train_state
 
     cfg = resolve_platform(multi_scale_config())
+    if args.preset == "fast":
+        cfg = replace(cfg, backbone=replace(
+            cfg.backbone,
+            bev_stage_channels=(48, 96, 144, 192),
+            bev_blocks_per_stage=(1, 1, 2, 2),
+            image_stage_channels=(48, 96, 192, 320),
+            image_blocks_per_stage=(1, 1, 2, 2),
+            fpn_channels=96),
+            head=replace(cfg.head, head_channels=96))
     cfg = replace(cfg, train=replace(
         cfg.train, batch_size=args.batch, num_steps=args.steps,
         learning_rate=args.lr, warmup_steps=min(150, args.steps // 10),

@@ -298,3 +298,32 @@ class TestBinPointsPlanes:
         got = bin_points_planes(jnp.asarray(pts), jnp.asarray(mask),
                                 (0.0, 0.0), 1.0, (H, W), C, r, tile_rows)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_presorted_matches_argsort_path(self, rng):
+        """The sort-free presorted path (fine scale) must produce the
+        exact same planes as the stable-argsort path, including bins
+        over capacity and interspersed invalid (image-masked) points."""
+        from dcf.ops.pallas.fusion_kernel import bin_points_planes
+        H, W, C, r, tile_rows = 24, 130, 2, 1, 8
+        P = 900
+        pts = np.zeros((P, 4), np.float32)
+        # cluster points so many cells exceed capacity C=2
+        pts[:, 0] = rng.integers(-1, H + 1, P) + rng.uniform(0, 1, P)
+        pts[:, 1] = rng.integers(-1, 8, P) * (W // 8) + rng.uniform(0, 1, P)
+        pts[:, 2] = rng.uniform(-2, 2, P)
+        pts[:, 3] = np.arange(P)
+        # sort by row-major cell with out-of-grid last (the fine sort)
+        ix = np.floor(pts[:, 0]).astype(int)
+        iy = np.floor(pts[:, 1]).astype(int)
+        ing = (ix >= 0) & (ix < H) & (iy >= 0) & (iy < W)
+        key = np.where(ing, ix * W + iy, H * W)
+        order = np.argsort(key, kind="stable")
+        pts = pts[order]
+        mask = rng.uniform(size=P) < 0.7      # img_ok: NOT sorted
+        ref = bin_points_planes(jnp.asarray(pts), jnp.asarray(mask),
+                                (0.0, 0.0), 1.0, (H, W), C, r, tile_rows,
+                                presorted=False)
+        got = bin_points_planes(jnp.asarray(pts), jnp.asarray(mask),
+                                (0.0, 0.0), 1.0, (H, W), C, r, tile_rows,
+                                presorted=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

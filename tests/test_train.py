@@ -227,14 +227,21 @@ class TestSlabOverflow:
 
     def _setup(self, z_slab_cap):
         from dataclasses import replace
+        from dcf.config import VoxelConfig
         cfg = tiny_config(with_fusion=True)
         # run the REAL pallas kernel path in interpret mode on CPU so
-        # slab_starts / overflow accounting is exercised
-        cfg = replace(cfg, fusion=replace(
-            cfg.fusion, use_pallas=True, pallas_interpret=True,
-            z_slab_cap=z_slab_cap))
+        # slab_starts / overflow accounting is exercised; geometry is
+        # shrunk well below tiny_config (interpret mode emulates every
+        # grid program -- the full tiny grid costs ~15 min per compile)
+        cfg = replace(
+            cfg,
+            voxel=VoxelConfig(x_max=12.8, y_min=-6.4, y_max=6.4,
+                              voxel_size=0.2, max_points=512),
+            backbone=replace(cfg.backbone, fusion_strides=(2, 4)),
+            fusion=replace(cfg.fusion, use_pallas=True,
+                           pallas_interpret=True, z_slab_cap=z_slab_cap))
         model = ContFuseDetector(cfg)
-        frame = make_frame(seed=0)
+        frame = make_frame(seed=0, n_ground=3000, pts_per_box=200)
         batch_np = stack_examples([frame_to_example(frame, cfg)] * 2)
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         params = jax.jit(model.init)(jax.random.key(0), batch)
@@ -242,7 +249,7 @@ class TestSlabOverflow:
         return cfg, model, batch, batch_np, params, pack
 
     def test_metric_reported_and_zero_at_default_cap(self):
-        cfg, model, batch, _, params, pack = self._setup(z_slab_cap=2048)
+        cfg, model, batch, _, params, pack = self._setup(z_slab_cap=512)
         step = jax.jit(make_train_step(cfg, model))
         from dcf.train.state import create_train_state
         state = create_train_state(cfg, params)
