@@ -25,7 +25,16 @@ def sigmoid_focal_loss(logits: jnp.ndarray, targets: jnp.ndarray,
           + jax.nn.softplus(logits) * (1.0 - targets))
     p_t = p * targets + (1.0 - p) * (1.0 - targets)
     alpha_t = alpha * targets + (1.0 - alpha) * (1.0 - targets)
-    return alpha_t * jnp.power(1.0 - p_t, gamma) * ce
+    # jnp.power with a float exponent lowers to exp/log transcendentals
+    # (plus their gradients); integer gamma is just repeated multiply
+    focal = (1.0 - p_t)
+    if float(gamma) == int(gamma) and 1 <= int(gamma) <= 4:
+        w = focal
+        for _ in range(int(gamma) - 1):
+            w = w * focal
+    else:
+        w = jnp.power(focal, gamma)
+    return alpha_t * w * ce
 
 
 def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray,
