@@ -79,7 +79,9 @@ def _plane_geometry(H: int, W: int, r: int, tile_rows: int):
 def bin_points_planes(points: jnp.ndarray, mask: jnp.ndarray,
                       origin, cell_size: float, grid_hw,
                       capacity: int, r: int, tile_rows: int,
-                      presorted: bool = False) -> jnp.ndarray:
+                      presorted: bool = False,
+                      fine_ratio: int = 1,
+                      sort_valid=None) -> jnp.ndarray:
     """Scatter point payloads DIRECTLY into the kernel's plane layout.
 
     Equivalent to `build_planes(bin_points_dense(...))` (parity-tested)
@@ -100,6 +102,27 @@ def bin_points_planes(points: jnp.ndarray, mask: jnp.ndarray,
     P, D = points.shape
     C = capacity
     TH, H_eff, TS, WP, RP = _plane_geometry(H, W, r, tile_rows)
+    if fine_ratio > 1:
+        # Sort-free COARSE-scale binning: the caller guarantees points
+        # arrive grouped by fine-grid cell (row-major; the one fine sort
+        # of sort_points_for_fusion). Fine cells nest in this scale's
+        # cells, so rank-within-coarse-cell -- the only thing the
+        # per-scale stable argsort was computing -- decomposes into
+        #   rank_fine   (arrival rank within own fine cell, seg-scan)
+        # + valid counts of the coarse cell's EARLIER fine cells
+        # (row-major), read from cumsum images of a per-fine-cell count
+        # raster. Replaces the [P] argsort + payload gather per coarse
+        # scale (~0.6 ms/frame each on v5e) with O(P) scans + 4 tiny
+        # image gathers. Slot assignment is bit-identical to the stable
+        # argsort of fine-sorted input (same arrival order per cell).
+        ix, iy, rank, inb = _coarse_rank_presorted(
+            points, mask, origin, cell_size, (H, W), fine_ratio,
+            sort_valid)
+        six = ix + r
+        siy = iy + r
+        spoints = points
+        ok = (rank < C) & inb
+        return _scatter_planes(spoints, ok, rank, six, siy, C, RP, WP, D, P)
     ix = jnp.floor((points[:, 0] - origin[0]) / cell_size).astype(jnp.int32)
     iy = jnp.floor((points[:, 1] - origin[1]) / cell_size).astype(jnp.int32)
     inb = mask & (ix >= 0) & (ix < H) & (iy >= 0) & (iy < W)
@@ -141,6 +164,12 @@ def bin_points_planes(points: jnp.ndarray, mask: jnp.ndarray,
         spoints = points[order]
         rank = _rank_within_runs(sorted_cell)
         ok = (rank < C) & (sorted_cell < H * W)
+    return _scatter_planes(spoints, ok, rank, six, siy, C, RP, WP, D, P)
+
+
+def _scatter_planes(spoints, ok, rank, six, siy, C, RP, WP, D, P):
+    """One flat unique-indices scatter of all payload fields + validity
+    into the kernel's [D+1, C, RP, WP] plane layout."""
     # spatial offset of the point's cell inside one [RP, WP] plane
     spatial = (rank * RP + six) * WP + siy                      # [P]
     plane = C * RP * WP
@@ -148,7 +177,7 @@ def bin_points_planes(points: jnp.ndarray, mask: jnp.ndarray,
     base = jnp.where(ok, spatial, (D + 1) * plane + iota)       # drop slot
     vals = jnp.concatenate(
         [spoints.T.reshape(-1),                                 # [D * P]
-         jnp.ones((P,), points.dtype)], axis=0)                 # validity
+         jnp.ones((P,), spoints.dtype)], axis=0)                # validity
     idx = jnp.concatenate(
         [base[None, :] + plane * jnp.arange(D + 1,
                                             dtype=jnp.int32)[:, None]],
@@ -157,6 +186,86 @@ def bin_points_planes(points: jnp.ndarray, mask: jnp.ndarray,
     flat = flat.at[idx].set(vals.astype(jnp.float32), mode="drop",
                             unique_indices=True)
     return flat.reshape(D + 1, C, RP, WP)
+
+
+def _coarse_rank_presorted(points, mask, origin, cell_size, grid_hw,
+                           rho: int, sort_valid=None):
+    """Rank-within-coarse-cell for fine-cell-grouped points, sort-free.
+
+    Args:
+      points: [P, D], fine-grid row-major sorted (sort_points_for_fusion).
+      mask: [P] validity (this scale's image-visibility mask).
+      cell_size: THIS scale's cell size; the fine cell is cell_size/rho.
+      grid_hw: this scale's (H, W); the fine grid is (H*rho, W*rho).
+      sort_valid: [P] bool, True where the SORT considered the point
+        in-grid (those points are cell-contiguous). Points invalid at
+        sort time sit at the array tail regardless of their coords; if
+        spatially in-grid (e.g. zero-padding rows at the grid origin)
+        they would form ghost runs of real cells there, so they must be
+        grouped under the sentinel instead.
+
+    Returns (ix, iy, rank, inb): coarse cell coords, rank of each valid
+    point among its coarse cell's valid points in arrival order
+    (== the stable-argsort path's rank), and the validity.
+    """
+    H, W = grid_hw
+    Hf, Wf = H * rho, W * rho
+    cf = cell_size / rho
+    fx = jnp.floor((points[:, 0] - origin[0]) / cf).astype(jnp.int32)
+    fy = jnp.floor((points[:, 1] - origin[1]) / cf).astype(jnp.int32)
+    spatial = (fx >= 0) & (fx < Hf) & (fy >= 0) & (fy < Wf)
+    if sort_valid is not None:
+        spatial = spatial & sort_valid
+    inb = mask & spatial
+    ix = fx // rho
+    iy = fy // rho
+
+    # rank within own fine cell (valid-only, segmented scan over the
+    # arrival grouping -- same scheme as the presorted fine path)
+    fgroup = jnp.where(spatial, fx * Wf + fy, Hf * Wf)
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), fgroup[1:] != fgroup[:-1]])
+    valid32 = inb.astype(jnp.int32)
+
+    def seg_op(a, b):
+        return (a[0] | b[0], jnp.where(b[0], b[1], a[1] + b[1]))
+
+    _, incl = jax.lax.associative_scan(seg_op, (start, valid32))
+    rank_fine = incl - valid32
+
+    # per-fine-cell valid counts: `incl` at each run's last element is
+    # the run's total; one unique-indices scatter builds the raster
+    is_end = jnp.concatenate([start[1:], jnp.ones((1,), bool)])
+    okc = is_end & (fgroup < Hf * Wf)
+    tgt = jnp.where(okc, fgroup, Hf * Wf)
+    cnt = (jnp.zeros((Hf * Wf,), jnp.int32)
+           .at[tgt].set(incl, mode="drop", unique_indices=True)
+           .reshape(Hf, Wf))
+
+    # S[fx, fy] = inclusive cumsum of counts along fine cols
+    S = jnp.cumsum(cnt, axis=1)                                # [Hf, Wf]
+    # per-(fine row, coarse col) block sums, then their inclusive
+    # cumsum down fine rows (within the whole column -- block-start
+    # subtraction happens at gather time)
+    ends = S[:, rho - 1::rho]                                  # [Hf, W]
+    blk = ends - jnp.pad(ends[:, :-1], ((0, 0), (1, 0)))       # [Hf, W]
+    W1 = jnp.cumsum(blk, axis=0)                               # [Hf, W]
+
+    def img_at(img, i, j):
+        """img[i, j] with out-of-range rows/cols reading as 0."""
+        ok = (i >= 0) & (j >= 0)
+        flat = img.reshape(-1)
+        idx = jnp.clip(i, 0, img.shape[0] - 1) * img.shape[1] \
+            + jnp.clip(j, 0, img.shape[1] - 1)
+        return jnp.where(ok, flat[idx], 0)
+
+    # earlier fine ROWS of my coarse cell: sum over fx' in [ix*rho, fx)
+    a = img_at(W1, fx - 1, iy) - img_at(W1, ix * rho - 1, iy)
+    # earlier fine cells in MY fine row's block: fy' in [iy*rho, fy)
+    b = img_at(S, fx, fy - 1) - img_at(S, fx, iy * rho - 1)
+    # a/b garbage out-of-grid; masked by inb in the caller's `ok`
+    rank = rank_fine + a + b
+    return ix, iy, rank, inb
 
 
 def build_planes(bins: DenseBins, r: int, tile_rows: int) -> jnp.ndarray:
@@ -205,32 +314,12 @@ def slab_starts(fine_row: jnp.ndarray, num_slabs: int, tile_rows: int,
 # forward kernel
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref,
-                out_ref, scr, z1scr, sem_p, sem_z, *,
-                TH, TS, W, WP, C, K, r, HID, CAPZ, origin, cell_size,
-                STASH=False):
-    # wsmall packs the small params lane-padded (tiny-minor-dim blocks
-    # crash the Mosaic compiler): cols 0:4 = wgt [hid, 4], col 4 = bg
-    b = pl.program_id(0)
-    ti = pl.program_id(1)
-    start = starts_ref[b, ti]
-    start = pl.multiple_of(start, 128)
-
-    cp = pltpu.make_async_copy(
-        planes_hbm.at[b, :, :, pl.ds(ti * TH, TS), :], scr, sem_p)
-    cz = pltpu.make_async_copy(
-        z1t_hbm.at[b, :, pl.ds(start, CAPZ)], z1scr, sem_z)
-    cp.start()
-    cz.start()
-    cp.wait()
-    cz.wait()
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TH, WP), 0) + ti * TH
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TH, WP), 1)
-    cx = origin[0] + (rows.astype(jnp.float32) + 0.5) * cell_size
-    cy = origin[1] + (cols.astype(jnp.float32) + 0.5) * cell_size
-
-    # streaming KNN insertion cascade (same scheme as knn_kernel.py)
+def _cascade_onepass(scr, cx, cy, *, TH, C, K, r):
+    """Classic streaming KNN insertion cascade (knn_kernel.py scheme):
+    every candidate runs the full K-deep compare/swap chain over all
+    _D + 1 fields. 2K + K*_D (TH, WP) arrays stay live across the whole
+    candidate loop."""
+    WP = cx.shape[1]
     top_d = [jnp.full((TH, WP), _BIG, jnp.float32) for _ in range(K)]
     top_p = [[jnp.zeros((TH, WP), jnp.float32) for _ in range(_D)]
              for _ in range(K)]
@@ -254,6 +343,131 @@ def _fwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref,
                         new_f = jnp.where(closer, p[f], top_p[k][f])
                         p[f] = jnp.where(closer, top_p[k][f], p[f])
                         top_p[k][f] = new_f
+    return top_d, top_p
+
+
+def _cascade_twopass(scr, cx, cy, *, TH, C, K, r, SG):
+    """Two-pass KNN selection with bounded live state (register-pressure
+    variant of `_cascade_onepass`; selects the IDENTICAL point set).
+
+    The one-pass cascade keeps 2K + K*_D ~ 20+ (TH, WP) f32 arrays live
+    per candidate step -- past the VPU register file, so Mosaic spills
+    the swap chains to VMEM on every candidate. Here:
+
+      pass 1: distance-only cascade augmented with the arrival index --
+        K (d, i) pairs live (strict-< insertion == stable K-smallest by
+        the lexicographic key (d, arrival)). Only the boundary key
+        (kd, ki) = slot K-1 survives.
+      pass 2: re-enumerate candidates in the same order; a candidate is
+        selected iff its key <= (kd, ki) (and d < _BIG: with fewer than
+        K valid candidates the boundary is the untouched sentinel and
+        the tie rule would otherwise admit arbitrary invalid pairs).
+        Exactly min(K, #valid) candidates pass, so a running count
+        assigns each selected candidate a distinct slot; `SG` slots are
+        materialized per sweep (live state: SG payload columns + the
+        boundary + the count).
+
+    Slots come out in candidate order, not distance order -- the
+    consumers (masked K-sum forward, per-slot backward) are
+    slot-permutation-invariant, so outputs match `_cascade_onepass`
+    bit-for-bit wherever candidate distances are tie-free (ties at the
+    K boundary select the same SET by stability; within-set slot
+    assignment differs, which the K-sum erases).
+    """
+    WP = cx.shape[1]
+    win = 2 * r + 1
+    # pass 1: boundary key
+    top_d = [jnp.full((TH, WP), _BIG, jnp.float32) for _ in range(K)]
+    top_i = [jnp.full((TH, WP), jnp.float32(1 << 30), jnp.float32)
+             for _ in range(K)]
+    idx = 0
+    for c in range(C):
+        fx, fy, fv = scr[0, c], scr[1, c], scr[_D, c]
+        for di in range(win):
+            for dj in range(win):
+                v = _roll2(fv, di, dj)[:TH, :] > 0.5
+                ddx = _roll2(fx, di, dj)[:TH, :] - cx
+                ddy = _roll2(fy, di, dj)[:TH, :] - cy
+                d = jnp.where(v, ddx * ddx + ddy * ddy, jnp.float32(_BIG))
+                i = jnp.full((TH, WP), jnp.float32(idx))
+                for k in range(K):
+                    closer = d < top_d[k]
+                    new_d = jnp.minimum(d, top_d[k])
+                    d = jnp.maximum(d, top_d[k])
+                    new_i = jnp.where(closer, i, top_i[k])
+                    i = jnp.where(closer, top_i[k], i)
+                    top_d[k] = new_d
+                    top_i[k] = new_i
+                idx += 1
+    kd = top_d[K - 1]
+    ki = top_i[K - 1]
+
+    # pass 2: slot placement, SG slots per sweep
+    out_d = [None] * K
+    out_p = [[None] * _D for _ in range(K)]
+    for k0 in range(0, K, SG):
+        ks = range(k0, min(k0 + SG, K))
+        sd = {k: jnp.full((TH, WP), _BIG, jnp.float32) for k in ks}
+        sp = {k: [jnp.zeros((TH, WP), jnp.float32) for _ in range(_D)]
+              for k in ks}
+        cnt = jnp.zeros((TH, WP), jnp.float32)
+        idx = 0
+        for c in range(C):
+            fields = [scr[f, c] for f in range(_D + 1)]
+            for di in range(win):
+                for dj in range(win):
+                    sh = [_roll2(f, di, dj)[:TH, :] for f in fields]
+                    v = sh[_D] > 0.5
+                    ddx = sh[0] - cx
+                    ddy = sh[1] - cy
+                    d = jnp.where(v, ddx * ddx + ddy * ddy,
+                                  jnp.float32(_BIG))
+                    accept = (d < kd) | ((d == kd)
+                                         & (ki >= jnp.float32(idx))
+                                         & (d < _BIG))
+                    for k in ks:
+                        take = accept & (cnt == jnp.float32(k))
+                        sd[k] = jnp.where(take, d, sd[k])
+                        for f in range(_D):
+                            sp[k][f] = jnp.where(take, sh[f], sp[k][f])
+                    cnt = cnt + accept.astype(jnp.float32)
+                    idx += 1
+        for k in ks:
+            out_d[k] = sd[k]
+            out_p[k] = sp[k]
+    return out_d, out_p
+
+
+def _fwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref,
+                out_ref, scr, z1scr, sem_p, sem_z, *,
+                TH, TS, W, WP, C, K, r, HID, CAPZ, origin, cell_size,
+                STASH=False, CASCADE="onepass", SG=2):
+    # wsmall packs the small params lane-padded (tiny-minor-dim blocks
+    # crash the Mosaic compiler): cols 0:4 = wgt [hid, 4], col 4 = bg
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    start = starts_ref[b, ti]
+    start = pl.multiple_of(start, 128)
+
+    cp = pltpu.make_async_copy(
+        planes_hbm.at[b, :, :, pl.ds(ti * TH, TS), :], scr, sem_p)
+    cz = pltpu.make_async_copy(
+        z1t_hbm.at[b, :, pl.ds(start, CAPZ)], z1scr, sem_z)
+    cp.start()
+    cz.start()
+    cp.wait()
+    cz.wait()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TH, WP), 0) + ti * TH
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TH, WP), 1)
+    cx = origin[0] + (rows.astype(jnp.float32) + 0.5) * cell_size
+    cy = origin[1] + (cols.astype(jnp.float32) + 0.5) * cell_size
+
+    if CASCADE == "twopass":
+        top_d, top_p = _cascade_twopass(scr, cx, cy, TH=TH, C=C, K=K,
+                                        r=r, SG=SG)
+    else:
+        top_d, top_p = _cascade_onepass(scr, cx, cy, TH=TH, C=C, K=K, r=r)
 
     # fused per-row MLP: one-hot select z1 (MXU) + geometric projection.
     # cx is constant per row (scalar); cy needs a direct (1, W) iota --
@@ -414,7 +628,7 @@ def _pack_small(wgt, bg):
 
 def _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
               radius_cells, tile_rows, capz, H, W, interpret,
-              stash=False):
+              stash=False, cascade="onepass", slot_group=2):
     """stash=True (training path) widens the output by 5*K channels
     carrying each pixel's selected (px, py, pz, gidx, d2) per neighbor,
     and returns the FULL H_eff rows -- the backward consumes them in
@@ -425,7 +639,7 @@ def _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
     kernel = functools.partial(
         _fwd_kernel, TH=TH, TS=TS, W=W, WP=WP, C=C, K=k, r=radius_cells,
         HID=HID, CAPZ=capz, origin=origin, cell_size=cell_size,
-        STASH=stash)
+        STASH=stash, CASCADE=cascade, SG=slot_group)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, NS),
@@ -532,21 +746,22 @@ def _bwd_impl(stash, z1t, starts, wgt, bg, dacc, origin, cell_size, k,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11,
-                                                    12, 13, 14, 15))
+                                                    12, 13, 14, 15, 16, 17))
 def _fused_fusion_p(planes, z1t, starts, wgt, bg, origin, cell_size, k,
                     radius_cells, tile_rows, capz, H, W, interpret,
-                    bwd_chunk, plane_capacity):
+                    bwd_chunk, plane_capacity, cascade, slot_group):
     return _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
-                     radius_cells, tile_rows, capz, H, W, interpret)
+                     radius_cells, tile_rows, capz, H, W, interpret,
+                     cascade=cascade, slot_group=slot_group)
 
 
 def _fused_fusion_fwd(planes, z1t, starts, wgt, bg, origin, cell_size, k,
                       radius_cells, tile_rows, capz, H, W, interpret,
-                      bwd_chunk, plane_capacity):
+                      bwd_chunk, plane_capacity, cascade, slot_group):
     HID = z1t.shape[1]
     full = _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
                      radius_cells, tile_rows, capz, H, W, interpret,
-                     stash=True)
+                     stash=True, cascade=cascade, slot_group=slot_group)
     out = full[:, :HID + 1, :H]
     stash = full[:, HID + 1:]              # [B, 5k, H_eff, W]
     # planes carry no cotangent (stop_gradient upstream) and are NOT
@@ -556,7 +771,8 @@ def _fused_fusion_fwd(planes, z1t, starts, wgt, bg, origin, cell_size, k,
 
 
 def _fused_fusion_bwd(origin, cell_size, k, radius_cells, tile_rows, capz,
-                      H, W, interpret, bwd_chunk, plane_capacity, res, g):
+                      H, W, interpret, bwd_chunk, plane_capacity, cascade,
+                      slot_group, res, g):
     stash, z1t, starts, wgt, bg = res
     # g: [B, HID+1, H, W]; the count channel's cotangent carries no
     # parameter dependence (count = sum of geometric masks)
@@ -580,7 +796,8 @@ def fused_fusion(bins: DenseBins, z1t: jnp.ndarray, starts: jnp.ndarray,
                  origin: Tuple[float, float], cell_size: float, k: int,
                  radius_cells: int = 1, tile_rows: int = 8,
                  capz: int = 2048, interpret: bool = False,
-                 bwd_chunk: int = 4096) -> jnp.ndarray:
+                 bwd_chunk: int = 4096, cascade: str = "onepass",
+                 slot_group: int = 2) -> jnp.ndarray:
     """Fused per-scale continuous fusion (differentiable).
 
     Args:
@@ -603,7 +820,8 @@ def fused_fusion(bins: DenseBins, z1t: jnp.ndarray, starts: jnp.ndarray,
                                cell_size, k, H, W,
                                radius_cells=radius_cells,
                                tile_rows=tile_rows, capz=capz,
-                               interpret=interpret, bwd_chunk=bwd_chunk)
+                               interpret=interpret, bwd_chunk=bwd_chunk,
+                               cascade=cascade, slot_group=slot_group)
 
 
 def fused_fusion_planes(planes: jnp.ndarray, z1t: jnp.ndarray,
@@ -612,13 +830,14 @@ def fused_fusion_planes(planes: jnp.ndarray, z1t: jnp.ndarray,
                         H: int, W: int, radius_cells: int = 1,
                         tile_rows: int = 8, capz: int = 2048,
                         interpret: bool = False,
-                        bwd_chunk: int = 4096) -> jnp.ndarray:
+                        bwd_chunk: int = 4096, cascade: str = "onepass",
+                        slot_group: int = 2) -> jnp.ndarray:
     """`fused_fusion` on pre-built [B, D+1, C, RP, WP] planes (see
     `bin_points_planes` -- skips the bins transpose on the hot path)."""
     planes = jax.lax.stop_gradient(planes)
     out = _fused_fusion_p(planes, z1t, starts, wgt, bg, origin, cell_size,
                           k, radius_cells, tile_rows, capz, H, W, interpret,
-                          bwd_chunk, planes.shape[2])
+                          bwd_chunk, planes.shape[2], cascade, slot_group)
     return jnp.transpose(out, (0, 2, 3, 1))
 
 

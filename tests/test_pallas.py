@@ -104,6 +104,55 @@ class TestFusedFusionKernel:
         assert cnt.max() <= K and cnt.min() >= 0
         assert (cnt == np.round(cnt)).all()
 
+    @pytest.mark.parametrize("sg", [1, 2, 4])
+    def test_twopass_cascade_matches_onepass(self, sg):
+        """The register-pressure-bounded two-pass cascade must select the
+        identical neighbor set (slot order may differ -- the K-sum is
+        permutation-invariant up to float reassociation)."""
+        from dcf.ops.pallas.fusion_kernel import fused_fusion
+        bbins, z1, starts, wgt, bg, (H, W, K, capz) = self._mk(9)
+        z1t = jnp.transpose(z1, (0, 2, 1))
+        kw = dict(radius_cells=1, tile_rows=8, capz=capz, interpret=True)
+        one = fused_fusion(bbins, z1t, starts, wgt, bg, (0.0, 0.0), 1.0,
+                           K, cascade="onepass", **kw)
+        two = fused_fusion(bbins, z1t, starts, wgt, bg, (0.0, 0.0), 1.0,
+                           K, cascade="twopass", slot_group=sg, **kw)
+        # count channel counts the selected set: must be exactly equal
+        np.testing.assert_array_equal(np.asarray(one)[..., -1],
+                                      np.asarray(two)[..., -1])
+        np.testing.assert_allclose(np.asarray(two), np.asarray(one),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_twopass_gradients_match_twin(self):
+        import jax
+        from dcf.ops.pallas.fusion_kernel import (fused_fusion,
+                                                  fused_fusion_reference)
+        bbins, z1, starts, wgt, bg, (H, W, K, capz) = self._mk(4)
+        probe = jnp.asarray(
+            np.random.default_rng(13).normal(size=(1, H, W, z1.shape[-1]
+                                                   + 1)), jnp.float32)
+
+        def loss_ref(z1f, wgt, bg):
+            out = fused_fusion_reference(bbins, z1f.astype(jnp.bfloat16),
+                                         wgt, bg, (0.0, 0.0), 1.0, K, 1)
+            return jnp.sum(out * probe)
+
+        def loss_ker(z1f, wgt, bg):
+            z1t = jnp.transpose(z1f.astype(jnp.bfloat16), (0, 2, 1))
+            out = fused_fusion(bbins, z1t, starts, wgt, bg, (0.0, 0.0),
+                               1.0, K, radius_cells=1, tile_rows=8,
+                               capz=capz, interpret=True,
+                               cascade="twopass")
+            return jnp.sum(out * probe)
+
+        z1f = z1.astype(jnp.float32)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(z1f, wgt, bg)
+        gk = jax.grad(loss_ker, argnums=(0, 1, 2))(z1f, wgt, bg)
+        for a, b, name in zip(gr, gk, ("z1", "wgt", "bg")):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(a, b, rtol=5e-2, atol=8e-2,
+                                       err_msg=name)
+
     def test_gradients_match_twin(self):
         import jax
         from dcf.ops.pallas.fusion_kernel import (fused_fusion,
@@ -297,6 +346,44 @@ class TestBinPointsPlanes:
                            tile_rows)[0]
         got = bin_points_planes(jnp.asarray(pts), jnp.asarray(mask),
                                 (0.0, 0.0), 1.0, (H, W), C, r, tile_rows)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    @pytest.mark.parametrize("rho", [2, 4])
+    def test_coarse_rank_matches_argsort_path(self, rng, rho):
+        """The sort-free coarse-scale path (rank from fine-cell count
+        images; fine cells nest in coarse cells) must reproduce the
+        stable-argsort path's planes exactly: same slot assignment,
+        same over-capacity drops, with a zero-padding tail (sort-invalid
+        but spatially at the grid origin) and interspersed image-masked
+        points."""
+        from dcf.ops.pallas.fusion_kernel import bin_points_planes
+        Hf, Wf = 24, 128
+        H, W = Hf // rho, Wf // rho
+        C, r, tile_rows = 2, 1, 8
+        P, PAD = 900, 120
+        pts = np.zeros((P, 4), np.float32)
+        pts[:, 0] = rng.integers(-1, Hf + 1, P) + rng.uniform(0, 1, P)
+        pts[:, 1] = rng.integers(-1, 8, P) * (Wf // 8) + rng.uniform(0, 1, P)
+        pts[:, 2] = rng.uniform(-2, 2, P)
+        sort_msk = rng.uniform(size=P) < 0.9
+        sort_msk[-PAD:] = False              # zero-coord padding tail
+        pts[~sort_msk] = 0.0                 # lands in-grid at the origin
+        ix = np.floor(pts[:, 0]).astype(int)
+        iy = np.floor(pts[:, 1]).astype(int)
+        ing = (ix >= 0) & (ix < Hf) & (iy >= 0) & (iy < Wf)
+        key = np.where(sort_msk & ing, ix * Wf + iy, Hf * Wf)
+        order = np.argsort(key, kind="stable")
+        pts, sort_msk = pts[order], sort_msk[order]
+        pts[:, 3] = np.arange(P)
+        img_ok = sort_msk & (rng.uniform(size=P) < 0.8)   # NOT sorted
+        sort_valid = jnp.asarray(key[order] < Hf * Wf)
+        ref = bin_points_planes(jnp.asarray(pts), jnp.asarray(img_ok),
+                                (0.0, 0.0), float(rho), (H, W), C, r,
+                                tile_rows, presorted=False)
+        got = bin_points_planes(jnp.asarray(pts), jnp.asarray(img_ok),
+                                (0.0, 0.0), float(rho), (H, W), C, r,
+                                tile_rows, fine_ratio=rho,
+                                sort_valid=sort_valid)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
     def test_presorted_matches_argsort_path(self, rng):
