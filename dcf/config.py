@@ -115,10 +115,10 @@ class FusionConfig:
     # insertion cascade, 20+ live vector arrays -> register spills) or
     # "twopass" (distance-only selection + slot placement, bounded live
     # state; identical selection, see fusion_kernel._cascade_twopass)
-    cascade: str = "onepass"
+    cascade: str = "twopass"
     # slots materialized per pass-2 sweep (twopass only): trades sweep
     # count against live registers
-    cascade_slot_group: int = 2
+    cascade_slot_group: int = 4
     # Run the fusion kernel in Pallas interpret mode (the kernel
     # "sanitizer", SURVEY.md 5.2) -- lets CPU tests exercise the real
     # kernel path incl. slab-overflow accounting; never set on TPU.
