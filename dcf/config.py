@@ -219,6 +219,14 @@ class TrainConfig:
     checkpoint_every: int = 1000
     log_every: int = 50
     seed: int = 0
+    # Target-assigner window, in head-stride cells per side. Coverage is
+    # +-(window/2 * grid_cell) around the gt center cell; any anchor
+    # whose rotated IoU with a KITTI-sized gt could cross the
+    # pos/neg thresholds lies within ~+-4.6 m (half gt diagonal + half
+    # anchor diagonal), so 24 cells (+-4.8 m at 0.4 m cells) preserves
+    # dense-assigner semantics with 44% less clip + scatter work than
+    # the conservative 32 (tests/test_nms_targets_losses.py checks both).
+    assigner_window: int = 24
 
 
 @dataclasses.dataclass(frozen=True)

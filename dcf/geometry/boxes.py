@@ -231,6 +231,28 @@ def encode_boxes(gt: jnp.ndarray, anchors: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([xt, yt, zt, dxt, dyt, dzt, rt], axis=-1)
 
 
+def encode_boxes_cm(gt_cm: jnp.ndarray, anchors_cm: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """encode_boxes on channel-MAJOR [7, N] arrays (same math).
+
+    TPU layout rationale: a materialized [N, 7] f32 array is tiled
+    (8, 128) on its last two dims, padding the 7-channel minor dim to
+    128 lanes (~16x the HBM bytes). The training target path keeps the
+    channel axis MAJOR ([7, N], N on lanes) so every temp is compact;
+    see dcf.train.targets._finalize and dcf.train.losses.
+    """
+    xa, ya, za, dxa, dya, dza, ra = anchors_cm
+    xg, yg, zg, dxg, dyg, dzg, rg = gt_cm
+    diag = jnp.sqrt(dxa * dxa + dya * dya)
+    return jnp.stack([(xg - xa) / diag,
+                      (yg - ya) / diag,
+                      (zg - za) / dza,
+                      jnp.log(dxg / dxa),
+                      jnp.log(dyg / dya),
+                      jnp.log(dzg / dza),
+                      rg - ra], axis=0)
+
+
 def decode_boxes(deltas: jnp.ndarray, anchors: jnp.ndarray) -> jnp.ndarray:
     """Inverse of encode_boxes: [..., 7] deltas + anchors -> box7s."""
     xa, ya, za, dxa, dya, dza, ra = jnp.moveaxis(anchors, -1, 0)

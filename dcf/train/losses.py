@@ -55,6 +55,23 @@ def add_sin_difference(reg_pred: jnp.ndarray, reg_target: jnp.ndarray
     return pred, target
 
 
+def _add_sin_difference_cmajor(reg_pred: jnp.ndarray,
+                               reg_target: jnp.ndarray
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """add_sin_difference on channel-second [B, 7, N] tensors.
+
+    The training path keeps regression channels SECOND (N on TPU lanes):
+    [B, N, 7] f32 tensors are tiled (8, 128), padding 7 -> 128 lanes, so
+    each materialized temp in the loss chain costs ~16x the HBM bytes
+    (measured 0.95 vs 0.32 ms for one smooth-L1 chain + grad at
+    N=422400, scripts/ab_train_step.py loss_layout_bench)."""
+    sin_p = jnp.sin(reg_pred[:, 6:7]) * jnp.cos(reg_target[:, 6:7])
+    sin_t = jnp.cos(reg_pred[:, 6:7]) * jnp.sin(reg_target[:, 6:7])
+    pred = jnp.concatenate([reg_pred[:, :6], sin_p], axis=1)
+    target = jnp.concatenate([reg_target[:, :6], sin_t], axis=1)
+    return pred, target
+
+
 def detection_loss_sums(flat_preds: Dict[str, jnp.ndarray],
                         targets: AnchorTargets,
                         cfg: LossConfig) -> Tuple[jnp.ndarray,
@@ -76,9 +93,14 @@ def detection_loss_sums(flat_preds: Dict[str, jnp.ndarray],
                                   cfg.focal_alpha, cfg.focal_gamma)
     cls_sum = jnp.sum(cls_elem * targets.cls_weight)
 
-    pred_s, target_s = add_sin_difference(reg_pred, targets.reg_target)
+    # [B, N, 7] pred -> channel-second [B, 7, N]; the one relayout is
+    # paid once, every downstream temp (sin-diff, smooth-L1, grads) is
+    # then lane-compact (see _add_sin_difference_cmajor).
+    reg_pred_cm = jnp.swapaxes(reg_pred, -1, -2)
+    pred_s, target_s = _add_sin_difference_cmajor(reg_pred_cm,
+                                                  targets.reg_target)
     reg_elem = smooth_l1(pred_s, target_s, cfg.smooth_l1_beta)
-    reg_sum = jnp.sum(jnp.sum(reg_elem, axis=-1) * targets.reg_weight)
+    reg_sum = jnp.sum(jnp.sum(reg_elem, axis=1) * targets.reg_weight)
 
     weighted = cfg.cls_weight * cls_sum + cfg.reg_weight * reg_sum
     sums = {"cls_sum": cls_sum, "reg_sum": reg_sum,

@@ -54,7 +54,8 @@ def build_loss_fn(cfg: Config, model: ContFuseDetector):
             pack["unmatched_thr"],
             batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
             grid_shape=grid_shape, grid_origin=grid_origin,
-            grid_cell=grid_cell, per_class_anchors=per_class_anchors,
+            grid_cell=grid_cell, window=cfg.train.assigner_window,
+            per_class_anchors=per_class_anchors,
             use_pallas_clip=cfg.pallas_clip)
         loss, metrics = detection_loss(flat, targets, cfg.loss)
         metrics.update(_diag_metrics(diag))
@@ -99,7 +100,8 @@ def build_loss_sums_fn(cfg: Config, model: ContFuseDetector):
             pack["unmatched_thr"],
             batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
             grid_shape=grid_shape, grid_origin=grid_origin,
-            grid_cell=grid_cell, per_class_anchors=per_class_anchors,
+            grid_cell=grid_cell, window=cfg.train.assigner_window,
+            per_class_anchors=per_class_anchors,
             use_pallas_clip=cfg.pallas_clip)
         weighted, sums = detection_loss_sums(flat, targets, cfg.loss)
         sums.update(_diag_metrics(diag))

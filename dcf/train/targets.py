@@ -27,13 +27,15 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from dcf.geometry.boxes import encode_boxes, rotated_intersection_area
+from dcf.geometry.boxes import encode_boxes_cm, rotated_intersection_area
 
 
 class AnchorTargets(NamedTuple):
     cls_target: jnp.ndarray    # [N] float32 0/1 (positive objectness)
     cls_weight: jnp.ndarray    # [N] float32 (0 for ignored anchors)
-    reg_target: jnp.ndarray    # [N, 7] encoded residuals (0 where not pos)
+    reg_target: jnp.ndarray    # [7, N] channel-MAJOR encoded residuals
+                               # (0 where not pos; N on TPU lanes -- a
+                               # [N, 7] layout pads 7 -> 128 lanes)
     reg_weight: jnp.ndarray    # [N] float32 1 for positives
     dir_target: jnp.ndarray    # [N] int32 0/1 direction bin
     num_pos: jnp.ndarray       # [] float32
@@ -69,15 +71,17 @@ def _finalize(anchors, matched_thr, unmatched_thr, gt_boxes,
     pos = pos | forced_pos
     neg = neg & ~forced_pos
 
-    # [N, 7] matched-box lookup as an fp32 one-hot matmul on the MXU
-    # instead of an N-row gather (TPU row gathers are ~160 ns/row
-    # regardless of width; the gather measured 2.4 ms per train step).
-    # Exact: every product is gt_value * 1.0 or * 0.0.
-    oh = jax.nn.one_hot(best_gt, G, dtype=jnp.float32)        # [N, G]
-    matched = oh @ gt_boxes                                   # [N, 7]
-    reg_target = encode_boxes(matched, anchors)
-    reg_target = jnp.where(pos[:, None], reg_target, 0.0)
-    dir_target = (matched[:, 6] > 0).astype(jnp.int32)
+    # Matched-box lookup as an fp32 one-hot matmul on the MXU instead of
+    # an N-row gather (TPU row gathers are ~160 ns/row regardless of
+    # width; the gather measured 2.4 ms per train step). Exact: every
+    # product is gt_value * 1.0 or * 0.0. Channel-MAJOR [7, N] layout
+    # throughout the target tail: [N, 7] temps pad 7 -> 128 lanes on TPU
+    # (~16x HBM traffic per materialized array, see encode_boxes_cm).
+    oh = jax.nn.one_hot(best_gt, G, axis=0, dtype=jnp.float32)  # [G, N]
+    matched_cm = gt_boxes.T @ oh                                # [7, N]
+    reg_target = encode_boxes_cm(matched_cm, anchors.T)
+    reg_target = jnp.where(pos[None, :], reg_target, 0.0)
+    dir_target = (matched_cm[6] > 0).astype(jnp.int32)
 
     cls_target = pos.astype(jnp.float32)
     cls_weight = (pos | neg).astype(jnp.float32)

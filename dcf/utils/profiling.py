@@ -53,13 +53,45 @@ def device_latency(fn: Callable, args: tuple, n_small: int = 4,
 
 
 def hlo_source_map(compiled_text: str) -> Dict[str, Tuple[str, str]]:
-    """HLO op name -> (op_name metadata, file:line)."""
+    """HLO op name -> (op_name metadata, file:line).
+
+    A fusion op often carries no metadata of its own (its root merged
+    many traced ops); fall back to the majority source file inside its
+    called fused computation so profiles don't report it as
+    unattributed."""
     out = {}
     pat = (r"%?([\w.\-]+) = [^\n]*?metadata=\{op_name=\"([^\"]*)\""
            r"(?: source_file=\"([^\"]*)\" source_line=(\d+))?")
     for m in re.finditer(pat, compiled_text):
         src = f"{m.group(3)}:{m.group(4)}" if m.group(3) else ""
         out[m.group(1)] = (m.group(2), src)
+
+    # fused-computation bodies: majority source file per computation
+    comp_srcs: Dict[str, collections.Counter] = {}
+    current = None
+    for line in compiled_text.splitlines():
+        head = re.match(r"\s*%?(fused_computation[\w.\-]*)\s*\(", line)
+        if head:
+            current = head.group(1)
+            comp_srcs[current] = collections.Counter()
+        elif current is not None:
+            if line.strip() == "}":
+                current = None
+            else:
+                s = re.search(r'source_file="([^"]*)" source_line=(\d+)',
+                              line)
+                if s:
+                    comp_srcs[current][f"{s.group(1)}:{s.group(2)}"] += 1
+    for m in re.finditer(
+            r"%?([\w.\-]+) = [^\n]*?fusion\([^\n]*?calls=%?"
+            r"(fused_computation[\w.\-]*)", compiled_text):
+        op, comp = m.group(1), m.group(2)
+        if out.get(op, ("", ""))[1]:
+            continue
+        counts = comp_srcs.get(comp)
+        if counts:
+            src, _ = counts.most_common(1)[0]
+            out[op] = (out.get(op, ("",))[0] or "(fusion-body)", src)
     return out
 
 

@@ -108,6 +108,12 @@ class TestEncodeDecode:
         enc = jb.encode_boxes(jnp.asarray(gt), jnp.asarray(anchors))
         dec = jb.decode_boxes(enc, jnp.asarray(anchors))
         np.testing.assert_allclose(np.asarray(dec), gt, atol=5e-4)
+        # channel-major twin (the train-path layout) is bitwise the
+        # same math on transposed inputs
+        enc_cm = jb.encode_boxes_cm(jnp.asarray(gt.T),
+                                    jnp.asarray(anchors.T))
+        np.testing.assert_array_equal(np.asarray(enc_cm).T,
+                                      np.asarray(enc))
 
     def test_zero_delta_is_anchor(self):
         anchors = jnp.array([[5.0, -3.0, -1.0, 3.9, 1.6, 1.56, 0.0]])

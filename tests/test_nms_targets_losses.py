@@ -118,7 +118,7 @@ class TestTargetAssignment:
                            jnp.asarray([0], jnp.int32),
                            jnp.asarray([True]))
         pos = np.asarray(t.reg_weight) > 0
-        dec = np.asarray(decode_boxes(t.reg_target, anchors))
+        dec = np.asarray(decode_boxes(t.reg_target.T, anchors))
         for i in np.where(pos)[0]:
             np.testing.assert_allclose(dec[i], gt_box, atol=1e-3)
 
@@ -174,7 +174,7 @@ class TestLosses:
             cls_target=jnp.asarray((rng.uniform(size=(B, N)) < 0.1)
                                    .astype(np.float32)),
             cls_weight=jnp.ones((B, N)),
-            reg_target=jnp.asarray(rng.normal(0, 0.2, (B, N, 7)),
+            reg_target=jnp.asarray(rng.normal(0, 0.2, (B, 7, N)),
                                    jnp.float32),
             reg_weight=jnp.asarray((rng.uniform(size=(B, N)) < 0.1)
                                    .astype(np.float32)),
@@ -216,12 +216,15 @@ class TestWindowedAssignment:
         rot_counts = {len(a.rotations) for a in cfg.anchors}
         pca = rot_counts.pop() if len(rot_counts) == 1 else None
         assert pca is not None          # exercise the class-window path
-        for per_class in (None, pca):
+        # window=32 is the conservative bound; 24 is the production
+        # default (TrainConfig.assigner_window) -- both must match dense
+        # exactly on KITTI-sized boxes (coverage argument in config.py).
+        for per_class, window in ((None, 32), (pca, 32), (pca, 24)):
             windowed = assign_targets(
                 *args, grid_shape=(Hd, Wd, A),
                 grid_origin=(cfg.voxel.x_min, cfg.voxel.y_min),
                 grid_cell=cfg.voxel.voxel_size * cfg.backbone.head_stride,
-                window=32, per_class_anchors=per_class)
+                window=window, per_class_anchors=per_class)
             np.testing.assert_array_equal(np.asarray(dense.cls_target),
                                           np.asarray(windowed.cls_target))
             np.testing.assert_array_equal(np.asarray(dense.cls_weight),

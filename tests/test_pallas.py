@@ -319,9 +319,12 @@ class TestClipKernel:
         flips = ref_cls != got_cls
         assert flips.mean() < 3e-3, flips.mean()
         agree_pos = (ref_cls == 1) & (got_cls == 1)
-        np.testing.assert_allclose(np.asarray(ref.reg_target)[agree_pos],
-                                   np.asarray(got.reg_target)[agree_pos],
-                                   atol=1e-5)
+        # reg_target is channel-major [B, 7, N]; move channels last to
+        # index with the [B, N] agreement mask
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(ref.reg_target), 1, -1)[agree_pos],
+            np.moveaxis(np.asarray(got.reg_target), 1, -1)[agree_pos],
+            atol=1e-5)
         d_pos = abs(float(np.asarray(ref.num_pos).sum())
                     - float(np.asarray(got.num_pos).sum()))
         assert d_pos <= flips.sum()
