@@ -108,9 +108,14 @@ def detection_loss_sums(flat_preds: Dict[str, jnp.ndarray],
 
     if "dir" in flat_preds:
         dir_logits = flat_preds["dir"].astype(jnp.float32)
-        logp = jax.nn.log_softmax(dir_logits, axis=-1)
-        onehot = jax.nn.one_hot(targets.dir_target, 2)
-        dir_elem = -jnp.sum(onehot * logp, axis=-1)
+        # 2-class CE in closed form: -log softmax_t(l0, l1)
+        # = softplus((1-2t) * (l1-l0)). Keeps every temp on compact
+        # [B, N] arrays -- the one_hot/log_softmax formulation
+        # materializes [B, N, 2] temps whose 2-wide minor dim pads to
+        # 128 TPU lanes (same pathology as the reg-target layout).
+        d = dir_logits[..., 1] - dir_logits[..., 0]
+        t = targets.dir_target.astype(jnp.float32)
+        dir_elem = jax.nn.softplus((1.0 - 2.0 * t) * d)
         dir_sum = jnp.sum(dir_elem * targets.reg_weight)
         weighted = weighted + cfg.dir_weight * dir_sum
         sums["dir_sum"] = dir_sum

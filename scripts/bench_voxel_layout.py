@@ -73,6 +73,19 @@ def raster_cmajor(points, mask, cfg):
     return jnp.concatenate([occ, inten[None].astype(DTYPE)], axis=0)
 
 
+def raster_fused_buf(points, mask, cfg):
+    """Variant e: occupancy scattered straight into a [gx, gy, nz+1]
+    buffer, intensity written into channel nz by dynamic-update-slice —
+    no concatenate, so no full-pseudo-image copy."""
+    gx, gy, nz = cfg.grid_x, cfg.grid_y, cfg.num_z_slices
+    ix, iy, iz, inb = _indices(points, mask, cfg)
+    ixs = jnp.where(inb, ix, gx)
+    out = jnp.zeros((gx, gy, nz + 1), DTYPE)
+    out = out.at[ixs, iy, iz].max(jnp.asarray(1.0, DTYPE), mode="drop")
+    inten = _intensity(points, ix, iy, inb, cfg)
+    return out.at[:, :, nz].set(inten.astype(DTYPE))
+
+
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     cfg = multi_scale_config()
@@ -112,11 +125,16 @@ def main():
             jnp.transpose(
                 jax.vmap(lambda pp, mm: raster_cmajor(pp, mm, v))(p, m),
                 (0, 2, 3, 1))),
+        "e_fusedbuf_nhwc": lambda p, m: conv_nhwc(
+            jax.vmap(lambda pp, mm: raster_fused_buf(pp, mm, v))(p, m)),
     }
     # parity first (sums agree; occupancy/intensity identical content)
     outs = {}
+    jitted = {}
     for name, fn in variants.items():
-        o = jax.jit(fn)(points, mask)
+        jfn = jax.jit(fn)
+        jitted[name] = jfn
+        o = jfn(points, mask)
         outs[name] = np.asarray(
             o.sum(axis=(0, 2, 3)) if name == "c_cmajor_nchw"
             else o.sum(axis=(0, 1, 2)), np.float32)
@@ -124,9 +142,13 @@ def main():
         np.testing.assert_allclose(s, outs["a_flat_reshape_nhwc"],
                                    rtol=2e-2), name
 
+    # latency: jitted, scalar output (full-tensor fetches over the tunnel
+    # would swamp the chain; device_latency's barrier is the fetch)
     for name, fn in variants.items():
-        ms = device_latency(lambda p: fn(p, mask), (points,)) * 1000.0
-        print(f"{name}: {ms:.3f} ms (B={B}, raster + first conv)")
+        scalar = jax.jit(lambda p, m, f=fn: f(p, m).sum())
+        ms = device_latency(scalar, (points, mask)) * 1000.0
+        print(f"{name}: {ms:.3f} ms (B={B}, raster + first conv)",
+              flush=True)
 
 
 if __name__ == "__main__":

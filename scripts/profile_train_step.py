@@ -38,8 +38,15 @@ def main():
 
     compiled = jax.jit(make_train_step(cfg, model)).lower(
         state, batch, pack).compile()
+    hlo_text = compiled.as_text()
+    with open("/tmp/train_step_hlo.txt", "w") as f:
+        f.write(hlo_text)
     rows = trace_op_table(fn, (state, batch, pack), "/tmp/trace_train",
-                          top_k=100000, compiled_text=compiled.as_text())
+                          top_k=100000, compiled_text=hlo_text)
+    import json
+    with open("/tmp/train_ops.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(list(r)) + "\n")
     print(f"total op time {sum(r[0] for r in rows):.2f} ms over "
           f"{len(rows)} ops")
     print("--- by source file ---")
