@@ -133,6 +133,15 @@ class FusionConfig:
     # the backward's one-hot dz1 matmul work scales with this cap, so
     # smaller is faster).
     z_slab_cap: int = 1536
+    # Points arrive fine-grid row-major sorted from the HOST
+    # (dcf.data.preprocess sorts inside the prefetch thread pool, off
+    # the device critical path) and the detector skips its in-jit
+    # argsort (~1.5 ms/frame of bitonic sort passes on v5e). The host
+    # key is computed in float32 with the exact device arithmetic, so
+    # order is bit-identical. Only set when every batch goes through
+    # frame_to_example (tests feeding hand-built unsorted batches must
+    # leave it False or pre-sort).
+    host_sorted_points: bool = True
     # Geometric features fed to the MLP alongside image features are
     # fixed at 4 channels ((dx, dy) pixel-center offset + point z + bev
     # distance), hardcoded in the fusion kernel and its jnp twin.

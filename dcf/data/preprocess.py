@@ -37,10 +37,35 @@ def prepare_image(image: np.ndarray, cfg: Config):
     return out, scale
 
 
+def sort_points_host(points: np.ndarray, mask: np.ndarray, cfg: Config):
+    """Fine-grid row-major stable sort of the padded cloud (host half of
+    dcf.models.fusion.sort_points_for_fusion).
+
+    The key is computed in float32 with the device's exact arithmetic
+    ((x - x_min) / cell, then floor), so the order is bit-identical to
+    the in-jit argsort it replaces; running it here puts the O(P log P)
+    sort in the prefetch thread pool instead of the device critical path
+    (FusionConfig.host_sorted_points).
+    """
+    vox = cfg.voxel
+    fine = min(cfg.backbone.fusion_strides)
+    Hf, Wf = vox.grid_x // fine, vox.grid_y // fine
+    cell = np.float32(vox.voxel_size * fine)
+    pts = points.astype(np.float32, copy=False)
+    ix = np.floor((pts[:, 0] - np.float32(vox.x_min)) / cell).astype(np.int32)
+    iy = np.floor((pts[:, 1] - np.float32(vox.y_min)) / cell).astype(np.int32)
+    inb = mask & (ix >= 0) & (ix < Hf) & (iy >= 0) & (iy < Wf)
+    key = np.where(inb, ix * Wf + iy, Hf * Wf)
+    order = np.argsort(key, kind="stable")
+    return points[order], mask[order]
+
+
 def frame_to_example(frame: Frame, cfg: Config, seed: int = 0
                      ) -> Dict[str, np.ndarray]:
     """Build the static-shape example dict consumed by the jitted model."""
     points, mask = crop_and_pad(frame.points, cfg.voxel, seed=seed)
+    if cfg.with_fusion and cfg.fusion.host_sorted_points:
+        points, mask = sort_points_host(points, mask, cfg)
     image, scale = prepare_image(frame.image, cfg)
     v2i = frame.calib.velo_to_image_matrix.copy()
     v2i[:2] *= scale                     # resize folded into projection

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from dcf.config import Config
 from dcf.data.voxelize import rasterize_bev_batch
 from dcf.models.bev_backbone import BEVFPN
-from dcf.models.fusion import (ContinuousFusionLayer, image_stride_for,
-                               sort_points_for_fusion)
+from dcf.models.fusion import (ContinuousFusionLayer, fine_rows_for_fusion,
+                               image_stride_for, sort_points_for_fusion)
 from dcf.models.head import DetectionHead
 from dcf.models.layers import BasicBlock
 from dcf.models.resnet import ImageBackbone
@@ -59,10 +59,19 @@ class ContFuseDetector(nn.Module):
 
         if cfg.with_fusion:
             # one fine-grid sort shared by every fusion scale (row-slab
-            # contiguity for the fused kernel's z1 DMA; see fusion.py)
-            pts_f, mask_f, fine_row = sort_points_for_fusion(
-                batch["points"], batch["point_mask"], cfg.voxel,
-                min(cfg.backbone.fusion_strides))
+            # contiguity for the fused kernel's z1 DMA; see fusion.py).
+            # With host_sorted_points the prefetch pipeline already
+            # sorted (dcf.data.preprocess.sort_points_host) and only the
+            # row ids are computed here -- no in-jit argsort.
+            fine = min(cfg.backbone.fusion_strides)
+            if cfg.fusion.host_sorted_points:
+                pts_f, mask_f = batch["points"], batch["point_mask"]
+                fine_row = fine_rows_for_fusion(pts_f, mask_f,
+                                                cfg.voxel, fine)
+            else:
+                pts_f, mask_f, fine_row = sort_points_for_fusion(
+                    batch["points"], batch["point_mask"], cfg.voxel,
+                    fine)
 
         # no stride-1 stem: a full-resolution conv + norm over the
         # 704x800 grid costs ~2.5 ms for little accuracy benefit; stage 0

@@ -75,6 +75,23 @@ def sort_points_for_fusion(points: jnp.ndarray, mask: jnp.ndarray,
     return jax.vmap(one)(points, mask)
 
 
+def fine_rows_for_fusion(points: jnp.ndarray, mask: jnp.ndarray,
+                         vox: VoxelConfig, fine_stride: int) -> jnp.ndarray:
+    """Elementwise fine-grid row ids for HOST-pre-sorted points.
+
+    The sorting half of `sort_points_for_fusion` already happened on the
+    host (dcf.data.preprocess.sort_points_host, bit-identical key); only
+    the [B, P] row-id tensor is needed on device -- no argsort.
+    """
+    Hf = vox.grid_x // fine_stride
+    Wf = vox.grid_y // fine_stride
+    cell = vox.voxel_size * fine_stride
+    ix = jnp.floor((points[..., 0] - vox.x_min) / cell).astype(jnp.int32)
+    iy = jnp.floor((points[..., 1] - vox.y_min) / cell).astype(jnp.int32)
+    inb = (mask & (ix >= 0) & (ix < Hf) & (iy >= 0) & (iy < Wf))
+    return jnp.where(inb, ix, _ROW_SENTINEL)
+
+
 class ContinuousFusionLayer(nn.Module):
     """One fusion layer at a fixed BEV stride / image stride pair.
 

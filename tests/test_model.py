@@ -111,6 +111,41 @@ class TestForward:
         assert not np.allclose(np.asarray(p1["cls"]), np.asarray(p2["cls"]),
                                atol=1e-6)
 
+    def test_host_sorted_points_parity(self):
+        """Host pre-sort + in-jit row ids == in-jit argsort, exactly.
+
+        The flagship default (FusionConfig.host_sorted_points) moves the
+        fine-grid sort into frame_to_example; the detector must produce
+        bit-identical predictions either way on the same frame.
+        """
+        import dataclasses
+        frame = make_frame(seed=3)
+        cfg_on = tiny_config(with_fusion=True)
+        assert cfg_on.fusion.host_sorted_points
+        cfg_off = dataclasses.replace(
+            cfg_on, fusion=dataclasses.replace(
+                cfg_on.fusion, host_sorted_points=False))
+
+        b_on = {k: jnp.asarray(v) for k, v in stack_examples(
+            [frame_to_example(frame, cfg_on)]).items()}
+        b_off = {k: jnp.asarray(v) for k, v in stack_examples(
+            [frame_to_example(frame, cfg_off)]).items()}
+        # host sort only reorders the padded cloud
+        assert not np.array_equal(np.asarray(b_on["points"]),
+                                  np.asarray(b_off["points"]))
+        assert np.allclose(np.asarray(b_on["points"]).sum(axis=1),
+                           np.asarray(b_off["points"]).sum(axis=1),
+                           atol=1e-3)
+
+        model_on = ContFuseDetector(cfg_on)
+        model_off = ContFuseDetector(cfg_off)
+        params = jax.jit(model_on.init)(jax.random.key(0), b_on)
+        p_on = jax.jit(model_on.apply)(params, b_on)
+        p_off = jax.jit(model_off.apply)(params, b_off)
+        for k in p_on:
+            np.testing.assert_array_equal(np.asarray(p_on[k]),
+                                          np.asarray(p_off[k]), err_msg=k)
+
 
 class TestStaticShapes:
     def test_jit_cache_one_entry_per_batch_shape(self, fusion_setup):
