@@ -228,3 +228,38 @@ class TestLoader:
         e0 = [b["points"].sum() for b in loader.epoch(0)]
         e1 = [b["points"].sum() for b in loader.epoch(1)]
         assert e0 != e1
+
+
+class TestHostSort:
+    def test_sorted_keys_nondecreasing_and_edges(self):
+        """Host sort yields non-decreasing fine-cell keys; empty and
+        all-out-of-ROI clouds survive with shapes/masks intact."""
+        from dcf.data.preprocess import frame_to_example, sort_points_host
+        cfg = tiny_config(with_fusion=True)
+        frame = synthetic.make_frame(seed=11)
+        ex = frame_to_example(frame, cfg)
+        pts, msk = ex["points"], ex["point_mask"]
+        vox = cfg.voxel
+        fine = min(cfg.backbone.fusion_strides)
+        Hf, Wf = vox.grid_x // fine, vox.grid_y // fine
+        cell = np.float32(vox.voxel_size * fine)
+        ix = np.floor((pts[:, 0] - np.float32(vox.x_min)) / cell).astype(int)
+        iy = np.floor((pts[:, 1] - np.float32(vox.y_min)) / cell).astype(int)
+        inb = msk & (ix >= 0) & (ix < Hf) & (iy >= 0) & (iy < Wf)
+        key = np.where(inb, ix * Wf + iy, Hf * Wf)
+        assert (np.diff(key) >= 0).all()
+
+        # empty cloud
+        P = cfg.voxel.max_points
+        p0 = np.zeros((P, 4), np.float32)
+        m0 = np.zeros((P,), bool)
+        ps, ms = sort_points_host(p0, m0, cfg)
+        assert ps.shape == (P, 4) and not ms.any()
+
+        # all points outside the ROI: order preserved (stable, equal keys)
+        p1 = np.full((P, 4), -1000.0, np.float32)
+        p1[:, 3] = np.arange(P)
+        m1 = np.ones((P,), bool)
+        ps1, ms1 = sort_points_host(p1, m1, cfg)
+        assert ms1.all()
+        assert np.array_equal(ps1[:, 3], np.arange(P))
