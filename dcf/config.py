@@ -162,6 +162,13 @@ class BackboneConfig:
     # strides (relative to the BEV grid) at which continuous fusion happens
     fusion_strides: Tuple[int, ...] = (2, 4, 8, 16)
     dtype: str = "bfloat16"       # compute dtype (params stay float32)
+    # int8 PTQ serving mode for every ConvNorm (dcf.models.layers /
+    # dcf.quant): "off" (bf16, training + default serving), "calib"
+    # (bf16 + record activation max-abs into the "quant" collection),
+    # "int8" (serve a bf16-trained checkpoint with int8 x int8 -> int32
+    # convs; v5e MXU doubles its rate at int8). AP delta must be gated
+    # per checkpoint (scripts/generalization.py) before shipping int8.
+    quant_mode: str = "off"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -28,13 +28,15 @@ class BEVFPN(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
         strides = sorted(feats.keys())
         top = max(strides)
-        y = ConvNorm(cfg.fpn_channels, 1, 1, dtype, act=None)(feats[top])
+        y = ConvNorm(cfg.fpn_channels, 1, 1, dtype, act=None,
+                     quant=cfg.quant_mode)(feats[top])
         stride = top
         while stride > cfg.head_stride:
             stride //= 2
             y = upsample2x(y)
-            lateral = ConvNorm(cfg.fpn_channels, 1, 1, dtype,
-                               act=None)(feats[stride])
+            lateral = ConvNorm(cfg.fpn_channels, 1, 1, dtype, act=None,
+                               quant=cfg.quant_mode)(feats[stride])
             y = y + lateral
-        y = ConvNorm(cfg.fpn_channels, 3, 1, dtype)(y)
+        y = ConvNorm(cfg.fpn_channels, 3, 1, dtype,
+                     quant=cfg.quant_mode)(y)
         return y

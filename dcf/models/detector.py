@@ -81,9 +81,11 @@ class ContFuseDetector(nn.Module):
         stride = 1
         for stage, channels in enumerate(cfg.backbone.bev_stage_channels):
             x = BasicBlock(channels, stride=2, dtype=dtype,
+                           quant=cfg.backbone.quant_mode,
                            name=f"bev_stage{stage}_block0")(x)
             for b in range(cfg.backbone.bev_blocks_per_stage[stage] - 1):
                 x = BasicBlock(channels, stride=1, dtype=dtype,
+                               quant=cfg.backbone.quant_mode,
                                name=f"bev_stage{stage}_block{b + 1}")(x)
             stride *= 2
             if cfg.with_fusion and stride in cfg.backbone.fusion_strides:

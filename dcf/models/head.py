@@ -36,7 +36,8 @@ class DetectionHead(nn.Module):
         dtype = jnp.dtype(cfg.backbone.dtype)
         A = cfg.anchors_per_loc
         for _ in range(cfg.head.num_convs):
-            x = ConvNorm(cfg.head.head_channels, 3, 1, dtype)(x)
+            x = ConvNorm(cfg.head.head_channels, 3, 1, dtype,
+                         quant=cfg.backbone.quant_mode)(x)
         prior = 0.01
         cls = nn.Conv(A, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32,
                       bias_init=nn.initializers.constant(

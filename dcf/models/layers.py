@@ -17,6 +17,18 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+class _ConvKernel(nn.Module):
+    """Bare conv-kernel param under the SAME variable path nn.Conv uses
+    ("<name>/kernel"), so the int8 path shares float checkpoints."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
 def _num_groups(channels: int) -> int:
     for g in (32, 16, 8, 4, 2, 1):
         if channels % g == 0:
@@ -25,20 +37,44 @@ def _num_groups(channels: int) -> int:
 
 
 class ConvNorm(nn.Module):
-    """Conv -> GroupNorm -> optional activation."""
+    """Conv -> GroupNorm -> optional activation.
+
+    `quant` enables the int8 PTQ serving path (SURVEY.md "speed-of-light
+    on target hardware"; v5e's MXU doubles its rate at int8):
+      - "off":   bf16 conv (training and the default serving path);
+      - "calib": bf16 conv + record the running max-abs of the conv
+                 input into the mutable "quant" collection
+                 (dcf.quant.calibrate drives this);
+      - "int8":  symmetric per-tensor activation / per-out-channel
+                 weight quantization, int8 x int8 -> int32 conv, exact
+                 dequant. Shares the float param structure (scales live
+                 in the separate "quant" collection), so a bf16-trained
+                 checkpoint serves quantized without conversion.
+    GroupNorm stays bf16 in every mode.
+    """
 
     features: int
     kernel: int = 3
     stride: int = 1
     dtype: Dtype = jnp.bfloat16
     act: Optional[Callable] = nn.relu
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
-                    use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32)(x)
+        if self.quant == "int8":
+            x = self._int8_conv(x)
+        else:
+            if self.quant == "calib":
+                amax = self.variable("quant", "in_amax",
+                                     lambda: jnp.zeros((), jnp.float32))
+                amax.value = jnp.maximum(
+                    amax.value,
+                    jnp.max(jnp.abs(x.astype(jnp.float32))))
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride), padding="SAME",
+                        use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32)(x)
         # bf16 GroupNorm: flax accumulates the moments in fp32 internally,
         # and keeping the activation dtype avoids a full fp32 round-trip
         # (two 36 MB copies per norm at the finest BEV scale).
@@ -55,6 +91,26 @@ class ConvNorm(nn.Module):
             x = self.act(x)
         return x
 
+    def _int8_conv(self, x):
+        """Symmetric int8 PTQ conv: per-tensor input scale (calibrated
+        running max-abs), per-out-channel weight scales, int8 x int8 ->
+        int32 on the MXU, exact dequant. Rounding is the only error."""
+        k, cout = self.kernel, self.features
+        w = _ConvKernel((k, k, x.shape[-1], cout), name="Conv_0")()
+        amax = self.variable("quant", "in_amax",
+                             lambda: jnp.zeros((), jnp.float32))
+        s_x = jnp.maximum(amax.value, 1e-6) / 127.0
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                      -127, 127).astype(jnp.int8)
+        s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)),
+                          1e-12) / 127.0                       # [cout]
+        wq = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, wq, (self.stride, self.stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * (s_x * s_w)).astype(self.dtype)
+
 
 class BasicBlock(nn.Module):
     """ResNet-v1 basic block, NHWC."""
@@ -62,15 +118,18 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: Dtype = jnp.bfloat16
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = ConvNorm(self.features, 3, self.stride, self.dtype)(x)
-        y = ConvNorm(self.features, 3, 1, self.dtype, act=None)(y)
+        y = ConvNorm(self.features, 3, self.stride, self.dtype,
+                     quant=self.quant)(x)
+        y = ConvNorm(self.features, 3, 1, self.dtype, act=None,
+                     quant=self.quant)(y)
         if residual.shape[-1] != self.features or self.stride != 1:
             residual = ConvNorm(self.features, 1, self.stride, self.dtype,
-                                act=None)(x)
+                                act=None, quant=self.quant)(x)
         return nn.relu(y + residual)
 
 

@@ -33,16 +33,19 @@ class ImageBackbone(nn.Module):
         std = jnp.asarray([0.229, 0.224, 0.225], dtype)
         x = (x - mean) / std
 
-        x = ConvNorm(cfg.image_stage_channels[0], 7, 2, dtype)(x)
+        x = ConvNorm(cfg.image_stage_channels[0], 7, 2, dtype,
+                     quant=cfg.quant_mode)(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
         feats: Dict[int, jnp.ndarray] = {}
         stride = 4
         for stage, channels in enumerate(cfg.image_stage_channels):
             first_stride = 1 if stage == 0 else 2
-            x = BasicBlock(channels, stride=first_stride, dtype=dtype)(x)
+            x = BasicBlock(channels, stride=first_stride, dtype=dtype,
+                           quant=cfg.quant_mode)(x)
             for _ in range(cfg.image_blocks_per_stage[stage] - 1):
-                x = BasicBlock(channels, stride=1, dtype=dtype)(x)
+                x = BasicBlock(channels, stride=1, dtype=dtype,
+                               quant=cfg.quant_mode)(x)
             if stage > 0:
                 stride *= 2
             feats[stride] = x
