@@ -48,6 +48,10 @@ def main():
     p.add_argument("--preset", choices=("base", "fast"), default="base",
                    help="fast = width/depth-cut backbone trial "
                         "(VERDICT round-2 item 2 model-math cuts)")
+    p.add_argument("--int8-eval", action="store_true",
+                   help="additionally evaluate the trained checkpoint "
+                        "through the int8 PTQ serving path (dcf.quant) "
+                        "-- the AP ship-gate for quant_mode='int8'")
     args = p.parse_args()
 
     from dataclasses import replace
@@ -101,6 +105,24 @@ def main():
         r = run_eval(cfg, model, params, val_ds, num_points=npts)
         results.update({f"{k}_{tag}": round(v, 4) for k, v in r.items()
                         if "moderate" in k or "easy" in k})
+
+    if args.int8_eval:
+        import jax.numpy as jnp
+        from dcf.data.preprocess import frame_to_example, stack_examples
+        from dcf.quant import calibrate, quant_config
+        n_calib = min(8, len(train_ds) - len(train_ds) % 2)
+        calib_batches = [
+            {k: jnp.asarray(v) for k, v in stack_examples(
+                [frame_to_example(train_ds[i], cfg),
+                 frame_to_example(train_ds[i + 1], cfg)]).items()}
+            for i in range(0, n_calib, 2)]
+        qvars = calibrate(cfg, params, calib_batches)
+        cfg_q = quant_config(cfg)
+        model_q = ContFuseDetector(cfg_q)
+        params_q = {"params": params["params"], **qvars}
+        r = run_eval(cfg_q, model_q, params_q, val_ds, num_points=0)
+        results.update({f"{k}_int8_exact": round(v, 4)
+                        for k, v in r.items() if "moderate" in k})
     print(json.dumps(results, indent=2))
     with open(os.path.join(args.workdir, "generalization.json"), "w") as f:
         json.dump(results, f, indent=2)
