@@ -133,6 +133,12 @@ class FusionConfig:
     # the backward's one-hot dz1 matmul work scales with this cap, so
     # smaller is faster).
     z_slab_cap: int = 1536
+    # z1 one-hot window per BEV ROW inside the slab (fusion_windows): a
+    # row only selects neighbors from (1 + 2r) of the slab's (TH + 2r)
+    # fine-row span, so the kernel's dominant matmuls run this much
+    # narrower than the slab. Scaled by stride ratio like z_slab_cap;
+    # overflow folds into the same `slab_overflow` metric / debug check.
+    z_row_cap: int = 512
     # Points arrive fine-grid row-major sorted from the HOST
     # (dcf.data.preprocess sorts inside the prefetch thread pool, off
     # the device critical path) and the detector skips its in-jit

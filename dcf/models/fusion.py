@@ -36,7 +36,7 @@ from dcf.ops.pallas.fusion_kernel import (_plane_geometry,
                                           bin_points_planes,
                                           fused_fusion_planes,
                                           fused_fusion_reference,
-                                          slab_starts)
+                                          fusion_windows)
 
 _ROW_SENTINEL = 1 << 20
 
@@ -192,20 +192,21 @@ class ContinuousFusionLayer(nn.Module):
         if fus.use_pallas:
             ratio = self.bev_stride // min(cfg.backbone.fusion_strides)
             capz = min(fus.z_slab_cap * ratio, _round_up(P, 128))
+            capr = min(fus.z_row_cap * ratio, capz)
             P_pad = max(_round_up(P, 128), capz)
             TH, H_eff, _, _, _ = _plane_geometry(
                 H, W, r, fus.pallas_tile_rows)
             NS = H_eff // TH
-            # the fused kernel's z1 scratch is bf16 regardless of the
-            # model compute dtype (VMEM budget); cast at the boundary
-            z1t = jnp.transpose(z1.astype(jnp.bfloat16),
-                                (0, 2, 1))                     # [B, hid, P]
-            z1t = jnp.pad(z1t, ((0, 0), (0, 0), (0, P_pad - P)))
-            starts, overflow = jax.vmap(
-                lambda fr: slab_starts(fr, NS, TH, r, ratio, capz,
-                                       P_pad))(fine_row)
-            # Overflowing points fall outside the slab's z1 DMA window
-            # and would lose their fusion pairs; surface the count
+            # the fused kernel's z1 slab is point-major bf16 (VMEM
+            # budget; the layout feeds straight from the bilinear sample
+            # with no transpose); cast at the boundary
+            z1t = jnp.pad(z1.astype(jnp.bfloat16),
+                          ((0, 0), (0, P_pad - P), (0, 0)))  # [B, P, hid]
+            starts, rstarts, overflow = jax.vmap(
+                lambda fr: fusion_windows(fr, NS, TH, r, ratio, capz,
+                                          capr, P_pad))(fine_row)
+            # Overflowing points fall outside their row's z1 window and
+            # would lose their fusion pairs; surface the count
             # (collected into train metrics by the loss fn; the debug
             # step checkify-raises on it instead of dropping silently).
             self.sow("diagnostics", "slab_overflow",
@@ -214,7 +215,8 @@ class ContinuousFusionLayer(nn.Module):
                 binned, z1t, starts, wgt, bg2, origin, cell, K, H, W,
                 radius_cells=r, tile_rows=TH, capz=capz,
                 interpret=fus.pallas_interpret, cascade=fus.cascade,
-                slot_group=fus.cascade_slot_group)
+                slot_group=fus.cascade_slot_group, rstarts=rstarts,
+                capr=capr)
         else:
             acc = fused_fusion_reference(binned, z1, wgt, bg2, origin,
                                          cell, K, radius_cells=r)

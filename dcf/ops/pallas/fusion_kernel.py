@@ -17,18 +17,24 @@ One kernel per scale does, per BEV pixel:
 
 The z1 slab trick: points are pre-sorted by fine-BEV-grid row (row-major
 cell id), so the neighbors of any row-slab of pixels occupy one contiguous
-index range of the z1 table. Each program DMAs that range ([hid, capz]
-bf16) into VMEM; selection is `z1_slab @ onehot(lidx)` on the MXU.
+index range of the z1 table. Each program DMAs that range ([capz, hid]
+bf16, point-major) into VMEM; selection contracts a one-hot(lidx) against
+a per-ROW window of the slab on the MXU -- each BEV row only reaches
+points in (1 + 2r) of the slab's (tile_rows + 2r) fine rows
+(`fusion_windows`), so the one-hot runs `capr` ~ 3x narrower than the
+slab, cutting the kernel's dominant matmul FLOPs by the same factor in
+both the forward and the backward.
 
 The output layer (Dense over the hidden sum) stays in XLA: sum-over-K and
 a linear layer commute, except the per-pair bias, which is restored as
 `count * bias` from the kernel's count channel -- bit-for-bit the paper's
 per-pair MLP semantics at a fraction of the FLOPs.
 
-Training: a custom VJP whose backward kernel re-runs the cascade
-(rematerialization -- zero residual memory) and computes d_z1 with the
-*transposed* one-hot matmuls (a segment-sum on the MXU), replacing the XLA
-scatter-add that cost ~25 ms of the round-1 train step.
+Training: a custom VJP whose backward kernel reads the forward's stashed
+selections (no cascade recompute) and computes d_z1 with the *transposed*
+one-hot matmuls (a segment-sum on the MXU, row-windowed like the
+forward), replacing the XLA scatter-add that cost ~25 ms of the round-1
+train step.
 
 Parity: tests/test_pallas.py compares against `fused_fusion_reference`
 (the jnp twin used on CPU) in interpret mode, values and gradients.
@@ -310,6 +316,58 @@ def slab_starts(fine_row: jnp.ndarray, num_slabs: int, tile_rows: int,
     return starts, overflow
 
 
+def fusion_windows(fine_row: jnp.ndarray, num_slabs: int, tile_rows: int,
+                   r: int, row_ratio: int, capz: int, capr: int,
+                   p_pad: int) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                        jnp.ndarray]:
+    """Slab starts + per-ROW z1 window offsets, via one cumulative
+    histogram of the sorted fine rows (O(P), no [rows, P] compare).
+
+    A BEV row at this scale only ever selects neighbors from fine rows
+    [(row - r) * ratio, (row + 1 + r) * ratio) -- a (1 + 2r) / (TH + 2r)
+    fraction of its slab's point range -- so the kernel's one-hot
+    selection matmuls can run `capr` wide instead of `capz` wide. The
+    row window is the binding cap: a pair is admitted iff its point
+    falls inside [start + roff, start + roff + capr), so `overflow`
+    (points of the row's geometric range past the window end; the
+    rounded-down start can never cut the front) fully accounts for
+    dropped pairs.
+
+    Returns:
+      starts: [num_slabs] int32 slab DMA offsets (== `slab_starts`).
+      roffs: [num_slabs * tile_rows] int32 per-row window offsets
+        RELATIVE to the row's slab start, multiples of 128, clipped to
+        [0, capz - capr] (the window always lies inside the slab).
+      overflow: [num_slabs * tile_rows] int32 dropped-pair counts.
+    """
+    H_eff = num_slabs * tile_rows
+    Hf = H_eff * row_ratio
+    # fine_row is sorted (points are fine-cell row-major sorted; the
+    # invalid sentinel lands past Hf and drops from the histogram), so
+    # #points with fine_row < x == cum[x]
+    hist = jnp.zeros((Hf,), jnp.int32).at[fine_row].add(
+        1, mode="drop", indices_are_sorted=True)
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(hist)])
+
+    def below(x):
+        return cum[jnp.clip(x, 0, Hf)]
+
+    slabs = jnp.arange(num_slabs, dtype=jnp.int32)
+    starts = jnp.clip(
+        (below((slabs * tile_rows - r) * row_ratio) // 128) * 128,
+        0, max(p_pad - capz, 0)).astype(jnp.int32)
+
+    rows = jnp.arange(H_eff, dtype=jnp.int32)
+    start_of_row = starts[rows // tile_rows]
+    r_lo = below((rows - r) * row_ratio)
+    r_hi = below((rows + 1 + r) * row_ratio)
+    roffs = jnp.clip(((r_lo - start_of_row) // 128) * 128,
+                     0, max(capz - capr, 0)).astype(jnp.int32)
+    overflow = jnp.maximum(r_hi - (start_of_row + roffs + capr), 0)
+    return starts, roffs, overflow
+
+
 # --------------------------------------------------------------------------
 # forward kernel
 # --------------------------------------------------------------------------
@@ -438,9 +496,9 @@ def _cascade_twopass(scr, cx, cy, *, TH, C, K, r, SG):
     return out_d, out_p
 
 
-def _fwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref,
+def _fwd_kernel(starts_ref, rstarts_ref, planes_hbm, z1t_hbm, wsmall_ref,
                 out_ref, scr, z1scr, sem_p, sem_z, *,
-                TH, TS, W, WP, C, K, r, HID, CAPZ, origin, cell_size,
+                TH, TS, W, WP, C, K, r, HID, CAPZ, CAPR, origin, cell_size,
                 STASH=False, CASCADE="onepass", SG=2):
     # wsmall packs the small params lane-padded (tiny-minor-dim blocks
     # crash the Mosaic compiler): cols 0:4 = wgt [hid, 4], col 4 = bg
@@ -452,7 +510,7 @@ def _fwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref,
     cp = pltpu.make_async_copy(
         planes_hbm.at[b, :, :, pl.ds(ti * TH, TS), :], scr, sem_p)
     cz = pltpu.make_async_copy(
-        z1t_hbm.at[b, :, pl.ds(start, CAPZ)], z1scr, sem_z)
+        z1t_hbm.at[b, pl.ds(start, CAPZ), :], z1scr, sem_z)
     cp.start()
     cz.start()
     cp.wait()
@@ -474,7 +532,7 @@ def _fwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref,
     # row-slicing the (TH, WP) iota planes above crashes the Mosaic
     # compiler (array.h bounds CHECK), and the planes are only needed at
     # full width by the cascade anyway.
-    iota_cz = jax.lax.broadcasted_iota(jnp.int32, (CAPZ, W), 0)
+    iota_cr = jax.lax.broadcasted_iota(jnp.int32, (CAPR, W), 0)
     cyr = origin[1] + (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
                        .astype(jnp.float32) + 0.5) * cell_size
     startf = start.astype(jnp.float32)
@@ -483,15 +541,23 @@ def _fwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref,
         cnt = jnp.zeros((1, W), jnp.float32)
         cxr = (origin[0]
                + ((ti * TH + rr).astype(jnp.float32) + 0.5) * cell_size)
+        # per-ROW z1 window: this row's neighbors live in a capr-point
+        # range of the slab (fusion_windows), so the one-hot select runs
+        # CAPR wide instead of CAPZ wide (~(TH+2r)/(1+2r) x fewer MXU
+        # flops on the kernel's dominant matmul)
+        roff = rstarts_ref[b, ti * TH + rr]
+        roff = pl.multiple_of(roff, 128)
+        slab_r = z1scr[pl.ds(roff, CAPR), :]                  # [CAPR, HID]
+        rbasef = startf + roff.astype(jnp.float32)
         for k in range(K):
             d_r = top_d[k][rr:rr + 1, :W]
             pairok = d_r < _BIG
-            lidx = top_p[k][3][rr:rr + 1, :W] - startf
-            ok = pairok & (lidx >= 0) & (lidx < CAPZ)
+            lidx = top_p[k][3][rr:rr + 1, :W] - rbasef
+            ok = pairok & (lidx >= 0) & (lidx < CAPR)
             key = jnp.where(ok, lidx, -1.0).astype(jnp.int32)
-            oh = (iota_cz == key).astype(jnp.bfloat16)        # [CAPZ, W]
+            oh = (iota_cr == key).astype(jnp.bfloat16)        # [CAPR, W]
             z1sel = jax.lax.dot_general(
-                z1scr[:], oh, (((1,), (0,)), ((), ())),
+                slab_r, oh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # [HID, W]
             geo = (top_p[k][0][rr:rr + 1, :W] - cxr,
                    top_p[k][1][rr:rr + 1, :W] - cyr,
@@ -532,41 +598,41 @@ def _fwd_kernel(starts_ref, planes_hbm, z1t_hbm, wsmall_ref,
 # (transposed one-hot matmuls) for d_z1 / d_wg / d_bg
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(starts_ref, z1t_hbm, wsmall_ref, dacc_ref, stash_ref,
-                dz1_ref, dsmall_ref, z1scr, sem_z, *,
-                TH, W, K, HID, CH, origin, cell_size):
-    # grid (B, NS, CAPZ // CH): the chunk axis bounds per-program VMEM.
-    # Every valid (pixel, neighbor) pair's z1 row lies in exactly one
-    # CH-row chunk of the slab window, so the chunks PARTITION the pairs:
-    # each program reads the forward's stashed per-(pixel, k) selections
-    # (no planes DMA, no cascade recompute), restricts to its own
-    # chunk's pairs, and computes that chunk's d_z1 plus its share of
-    # d_wg/d_bg with a chunk-sized z1 slab -- coarse scales (large capz =
-    # big slab coverage in fine rows) stay far under the 16 MB VMEM
-    # budget that a full-window [HID, capz] f32 accumulator would need.
+def _bwd_kernel(starts_ref, rstarts_ref, z1t_hbm, wsmall_ref, dacc_ref,
+                stash_ref, dz1_ref, dsmall_ref, z1scr, sem_z, *,
+                TH, W, K, HID, CAPZ, CAPR, origin, cell_size):
+    # grid (B, NS). Each program reads the forward's stashed
+    # per-(pixel, k) selections (no planes DMA, no cascade recompute).
+    # The transposed one-hot segment-sum for d_z1 runs CAPR wide per row
+    # (the row's window fully contains its selected pairs, so the rows
+    # PARTITION the pairs) and accumulates into the slab-sized output
+    # block in place at the row's window offset -- the MXU work matches
+    # the forward's, (TH+2r)/(1+2r) x less than slab-wide matmuls.
     b = pl.program_id(0)
     ti = pl.program_id(1)
-    ch = pl.program_id(2)
     start = starts_ref[b, ti]
     start = pl.multiple_of(start, 128)
 
     cz = pltpu.make_async_copy(
-        z1t_hbm.at[b, :, pl.ds(start + ch * CH, CH)], z1scr, sem_z)
+        z1t_hbm.at[b, pl.ds(start, CAPZ), :], z1scr, sem_z)
     cz.start()
     cz.wait()
 
-    iota_ch = jax.lax.broadcasted_iota(jnp.int32, (CH, W), 0)
+    dz1_ref[0, 0] = jnp.zeros((CAPZ, HID), jnp.float32)
+    iota_cr = jax.lax.broadcasted_iota(jnp.int32, (CAPR, W), 0)
     cyr = origin[1] + (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
                        .astype(jnp.float32) + 0.5) * cell_size
-    # chunk-local index base: pairs outside [0, CH) belong to (and are
-    # handled by) a sibling chunk program
-    basef = (start + ch * CH).astype(jnp.float32)
-    dz1 = jnp.zeros((HID, CH), jnp.float32)
+    startf = start.astype(jnp.float32)
     dsm = [jnp.zeros((HID, 1), jnp.float32) for _ in range(5)]
     for rr in range(TH):
         da = dacc_ref[0, :, rr, :]                            # [HID, W]
         cxr = (origin[0]
                + ((ti * TH + rr).astype(jnp.float32) + 0.5) * cell_size)
+        roff = rstarts_ref[b, ti * TH + rr]
+        roff = pl.multiple_of(roff, 128)
+        slab_r = z1scr[pl.ds(roff, CAPR), :]                  # [CAPR, HID]
+        rbasef = startf + roff.astype(jnp.float32)
+        drow = jnp.zeros((CAPR, HID), jnp.float32)
         for k in range(K):
             base = 5 * k
             px = stash_ref[0, base + 0, rr:rr + 1, :]         # [1, W]
@@ -575,13 +641,13 @@ def _bwd_kernel(starts_ref, z1t_hbm, wsmall_ref, dacc_ref, stash_ref,
             gidx = stash_ref[0, base + 3, rr:rr + 1, :]
             d_r = stash_ref[0, base + 4, rr:rr + 1, :]
             pairok = d_r < _BIG
-            lidx = gidx - basef
-            ok = pairok & (lidx >= 0) & (lidx < CH)
+            lidx = gidx - rbasef
+            ok = pairok & (lidx >= 0) & (lidx < CAPR)
             key = jnp.where(ok, lidx, -1.0).astype(jnp.int32)
-            oh = (iota_ch == key).astype(jnp.bfloat16)        # [CH, W]
+            oh = (iota_cr == key).astype(jnp.bfloat16)        # [CAPR, W]
             z1sel = jax.lax.dot_general(
-                z1scr[:], oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                slab_r, oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [HID, W]
             geo = (px - cxr, py - cyr, pz,
                    jnp.sqrt(jnp.minimum(d_r, 1e6)))
             g1 = wsmall_ref[:, 4:5]
@@ -591,18 +657,19 @@ def _bwd_kernel(starts_ref, z1t_hbm, wsmall_ref, dacc_ref, stash_ref,
             live = (pre > 0.0).astype(jnp.float32) * ok.astype(jnp.float32)
             dpre = da * live                                  # [HID, W]
             # d_z1 segment-sum on the MXU: contract the pixel axis of
-            # both operands (A @ B^T) -- d_z1[h, c] = sum_pix dpre * oh
-            dz1 = dz1 + jax.lax.dot_general(
-                dpre.astype(jnp.bfloat16), oh,
+            # both operands -- d_z1[c, h] = sum_pix oh * dpre
+            drow = drow + jax.lax.dot_general(
+                oh, dpre.astype(jnp.bfloat16),
                 (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)           # [HID, CH]
+                preferred_element_type=jnp.float32)           # [CAPR, HID]
             for f in range(4):
                 dsm[f] = dsm[f] + jnp.sum(dpre * geo[f], axis=1,
                                           keepdims=True)
             dsm[4] = dsm[4] + jnp.sum(dpre, axis=1, keepdims=True)
-    dz1_ref[0, 0, 0] = dz1
+        cur = dz1_ref[0, 0, pl.ds(roff, CAPR), :]
+        dz1_ref[0, 0, pl.ds(roff, CAPR), :] = cur + drow
     for f in range(5):
-        dsmall_ref[0, 0, 0, :, f:f + 1] = dsm[f]
+        dsmall_ref[0, 0, :, f:f + 1] = dsm[f]
 
 
 # --------------------------------------------------------------------------
@@ -612,7 +679,7 @@ def _bwd_kernel(starts_ref, z1t_hbm, wsmall_ref, dacc_ref, stash_ref,
 def _sizes(planes, z1t, tile_rows, r, H, W):
     B = planes.shape[0]
     C = planes.shape[2]
-    HID = z1t.shape[1]
+    HID = z1t.shape[2]                 # z1t is point-major [B, P_pad, hid]
     TH, H_eff, TS, WP, RP = _plane_geometry(H, W, r, tile_rows)
     NS = H_eff // TH
     return B, C, HID, TH, H_eff, TS, WP, NS
@@ -626,8 +693,8 @@ def _pack_small(wgt, bg):
          jnp.zeros((hid, 123), jnp.float32)], axis=1)
 
 
-def _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
-              radius_cells, tile_rows, capz, H, W, interpret,
+def _fwd_impl(planes, z1t, starts, rstarts, wgt, bg, origin, cell_size, k,
+              radius_cells, tile_rows, capz, capr, H, W, interpret,
               stash=False, cascade="onepass", slot_group=2):
     """stash=True (training path) widens the output by 5*K channels
     carrying each pixel's selected (px, py, pz, gidx, d2) per neighbor,
@@ -638,10 +705,10 @@ def _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
     OC = HID + 1 + (5 * k if stash else 0)
     kernel = functools.partial(
         _fwd_kernel, TH=TH, TS=TS, W=W, WP=WP, C=C, K=k, r=radius_cells,
-        HID=HID, CAPZ=capz, origin=origin, cell_size=cell_size,
+        HID=HID, CAPZ=capz, CAPR=capr, origin=origin, cell_size=cell_size,
         STASH=stash, CASCADE=cascade, SG=slot_group)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, NS),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -652,7 +719,7 @@ def _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
                                lambda b, i, *_: (b, 0, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((_D + 1, C, TS, WP), jnp.float32),
-            pltpu.VMEM((HID, capz), jnp.bfloat16),
+            pltpu.VMEM((capz, HID), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -662,129 +729,119 @@ def _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, OC, H_eff, W), jnp.float32),
         interpret=interpret,
-    )(starts, planes, z1t, _pack_small(wgt, bg))
+    )(starts, rstarts, planes, z1t, _pack_small(wgt, bg))
     if stash:
         return out                     # caller splits value / stash
     return out[:, :, :H]
 
 
-def _bwd_impl(stash, z1t, starts, wgt, bg, dacc, origin, cell_size, k,
-              radius_cells, tile_rows, capz, H, W, interpret,
-              bwd_chunk=4096):
+def _bwd_impl(stash, z1t, starts, rstarts, wgt, bg, dacc, origin,
+              cell_size, k, radius_cells, tile_rows, capz, capr, H, W,
+              interpret):
     """stash: [B, 5*k, H_eff, W] forward-stashed selections."""
     B = z1t.shape[0]
-    HID = z1t.shape[1]
+    HID = z1t.shape[2]
     TH, H_eff, TS, WP, RP = _plane_geometry(H, W, radius_cells, tile_rows)
     NS = H_eff // TH
-    # Chunk size must divide capz (the grid tiles it exactly) and stay
-    # lane-aligned; capz is always a multiple of 128 (round_up in
-    # slab_starts), so pick the largest 128-multiple divisor <= bwd_chunk
-    # instead of asserting (capz need not divide evenly into bwd_chunk,
-    # e.g. max_points=5000 -> capz=5120).
-    assert capz % 128 == 0, capz
-    m = capz // 128
-    d = max(dd for dd in range(1, min(m, max(bwd_chunk // 128, 1)) + 1)
-            if m % dd == 0)
-    CH = 128 * d
-    NCH = capz // CH
     dacc = jnp.pad(dacc, ((0, 0), (0, 0), (0, H_eff - H), (0, 0)))
     kernel = functools.partial(
-        _bwd_kernel, TH=TH, W=W, K=k, HID=HID, CH=CH, origin=origin,
-        cell_size=cell_size)
+        _bwd_kernel, TH=TH, W=W, K=k, HID=HID, CAPZ=capz, CAPR=capr,
+        origin=origin, cell_size=cell_size)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, NS, NCH),
+        num_scalar_prefetch=2,
+        grid=(B, NS),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HID, TH, W), lambda b, i, c, *_: (b, 0, i, 0)),
+            pl.BlockSpec((1, HID, TH, W), lambda b, i, *_: (b, 0, i, 0)),
             pl.BlockSpec((1, 5 * k, TH, W),
-                         lambda b, i, c, *_: (b, 0, i, 0)),
+                         lambda b, i, *_: (b, 0, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1, HID, CH),
-                         lambda b, i, c, *_: (b, i, c, 0, 0)),
-            pl.BlockSpec((1, 1, 1, HID, 128),
-                         lambda b, i, c, *_: (b, i, c, 0, 0)),
+            pl.BlockSpec((1, 1, capz, HID),
+                         lambda b, i, *_: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, HID, 128),
+                         lambda b, i, *_: (b, i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((HID, CH), jnp.bfloat16),
+            pltpu.VMEM((capz, HID), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    dz1_chunks, dsmall = pl.pallas_call(
+    dz1_slabs, dsmall = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, NS, NCH, HID, CH), jnp.float32),
-            jax.ShapeDtypeStruct((B, NS, NCH, HID, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, NS, capz, HID), jnp.float32),
+            jax.ShapeDtypeStruct((B, NS, HID, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(starts, z1t, _pack_small(wgt, bg), dacc, stash)
+    )(starts, rstarts, z1t, _pack_small(wgt, bg), dacc, stash)
 
-    # chunks are contiguous along the slab window: [NCH, HID, CH] ->
-    # [HID, capz], then combine per-slab ranges (they overlap only in
-    # halo rows) into the full [B, HID, P_pad] cotangent with NS
-    # unrolled slice-adds
-    dz1_slabs = jnp.transpose(dz1_chunks, (0, 1, 3, 2, 4)).reshape(
-        B, NS, HID, capz)
-    P_pad = z1t.shape[2]
-    dz1t = jnp.zeros((B, HID, P_pad), jnp.float32)
+    # combine per-slab ranges (they overlap only in halo rows) into the
+    # full [B, P_pad, HID] cotangent with NS unrolled slice-adds
+    P_pad = z1t.shape[1]
+    dz1t = jnp.zeros((B, P_pad, HID), jnp.float32)
 
     def add_slab(dz1t_b, slabs_b, starts_b):
         for ti in range(slabs_b.shape[0]):
             cur = jax.lax.dynamic_slice(
-                dz1t_b, (0, starts_b[ti]), (HID, capz))
+                dz1t_b, (starts_b[ti], 0), (capz, HID))
             dz1t_b = jax.lax.dynamic_update_slice(
-                dz1t_b, cur + slabs_b[ti], (0, starts_b[ti]))
+                dz1t_b, cur + slabs_b[ti], (starts_b[ti], 0))
         return dz1t_b
 
     dz1t = jax.vmap(add_slab)(dz1t, dz1_slabs, starts)
-    # the chunks partition the pairs, so dsm sums across them
-    small = jnp.sum(dsmall, axis=(0, 1, 2))                   # [HID, 128]
+    # the rows partition the pairs, so dsm sums across slabs
+    small = jnp.sum(dsmall, axis=(0, 1))                      # [HID, 128]
     return dz1t.astype(z1t.dtype), small[:, 0:4], small[:, 4:5]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11,
-                                                    12, 13, 14, 15, 16, 17))
-def _fused_fusion_p(planes, z1t, starts, wgt, bg, origin, cell_size, k,
-                    radius_cells, tile_rows, capz, H, W, interpret,
-                    bwd_chunk, plane_capacity, cascade, slot_group):
-    return _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
-                     radius_cells, tile_rows, capz, H, W, interpret,
-                     cascade=cascade, slot_group=slot_group)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11,
+                                                    12, 13, 14, 15, 16, 17,
+                                                    18))
+def _fused_fusion_p(planes, z1t, starts, rstarts, wgt, bg, origin,
+                    cell_size, k, radius_cells, tile_rows, capz, capr,
+                    H, W, interpret, plane_capacity, cascade, slot_group):
+    return _fwd_impl(planes, z1t, starts, rstarts, wgt, bg, origin,
+                     cell_size, k, radius_cells, tile_rows, capz, capr,
+                     H, W, interpret, cascade=cascade,
+                     slot_group=slot_group)
 
 
-def _fused_fusion_fwd(planes, z1t, starts, wgt, bg, origin, cell_size, k,
-                      radius_cells, tile_rows, capz, H, W, interpret,
-                      bwd_chunk, plane_capacity, cascade, slot_group):
-    HID = z1t.shape[1]
-    full = _fwd_impl(planes, z1t, starts, wgt, bg, origin, cell_size, k,
-                     radius_cells, tile_rows, capz, H, W, interpret,
-                     stash=True, cascade=cascade, slot_group=slot_group)
+def _fused_fusion_fwd(planes, z1t, starts, rstarts, wgt, bg, origin,
+                      cell_size, k, radius_cells, tile_rows, capz, capr,
+                      H, W, interpret, plane_capacity, cascade,
+                      slot_group):
+    HID = z1t.shape[2]
+    full = _fwd_impl(planes, z1t, starts, rstarts, wgt, bg, origin,
+                     cell_size, k, radius_cells, tile_rows, capz, capr,
+                     H, W, interpret, stash=True, cascade=cascade,
+                     slot_group=slot_group)
     out = full[:, :HID + 1, :H]
     stash = full[:, HID + 1:]              # [B, 5k, H_eff, W]
     # planes carry no cotangent (stop_gradient upstream) and are NOT
     # kept as a residual -- that would pin ~30 MB of HBM per scale; the
     # backward rebuilds the zero from static geometry + plane_capacity
-    return out, (stash, z1t, starts, wgt, bg)
+    return out, (stash, z1t, starts, rstarts, wgt, bg)
 
 
 def _fused_fusion_bwd(origin, cell_size, k, radius_cells, tile_rows, capz,
-                      H, W, interpret, bwd_chunk, plane_capacity, cascade,
+                      capr, H, W, interpret, plane_capacity, cascade,
                       slot_group, res, g):
-    stash, z1t, starts, wgt, bg = res
+    stash, z1t, starts, rstarts, wgt, bg = res
     # g: [B, HID+1, H, W]; the count channel's cotangent carries no
     # parameter dependence (count = sum of geometric masks)
     dz1t, dwgt, dbg = _bwd_impl(
-        stash, z1t, starts, wgt, bg, g[:, :z1t.shape[1]], origin,
-        cell_size, k, radius_cells, tile_rows, capz, H, W, interpret,
-        bwd_chunk)
+        stash, z1t, starts, rstarts, wgt, bg, g[:, :z1t.shape[2]], origin,
+        cell_size, k, radius_cells, tile_rows, capz, capr, H, W,
+        interpret)
     _, _, _, WP, RP = _plane_geometry(H, W, radius_cells, tile_rows)
     return (jnp.zeros((stash.shape[0], _D + 1, plane_capacity, RP, WP),
                       jnp.float32),
             dz1t,
             np.zeros(starts.shape, jax.dtypes.float0),
+            np.zeros(rstarts.shape, jax.dtypes.float0),
             dwgt.astype(wgt.dtype), dbg.astype(bg.dtype))
 
 
@@ -796,18 +853,23 @@ def fused_fusion(bins: DenseBins, z1t: jnp.ndarray, starts: jnp.ndarray,
                  origin: Tuple[float, float], cell_size: float, k: int,
                  radius_cells: int = 1, tile_rows: int = 8,
                  capz: int = 2048, interpret: bool = False,
-                 bwd_chunk: int = 4096, cascade: str = "onepass",
-                 slot_group: int = 2) -> jnp.ndarray:
+                 cascade: str = "onepass", slot_group: int = 2,
+                 rstarts: jnp.ndarray | None = None,
+                 capr: int | None = None) -> jnp.ndarray:
     """Fused per-scale continuous fusion (differentiable).
 
     Args:
       bins: batched DenseBins [B, H, W, C, 4], payload (x, y, z, gidx)
         where gidx indexes the *sorted* point order of z1t.
-      z1t: [B, hid, P_pad] bf16 per-point hidden image features,
-        transposed, P_pad a multiple of 128 and >= capz.
-      starts: [B, num_slabs] int32 slab offsets (from `slab_starts`).
+      z1t: [B, P_pad, hid] bf16 per-point hidden image features
+        (point-major), P_pad a multiple of 128 and >= capz.
+      starts: [B, num_slabs] int32 slab offsets (from `fusion_windows`).
       wgt: [hid, 4] float32 geometric projection (transposed kernel).
       bg: [hid, 1] float32 geometric bias.
+      rstarts: [B, num_slabs * tile_rows] int32 per-row window offsets
+        relative to the slab start (`fusion_windows`); None -> whole
+        slab per row (capr == capz).
+      capr: per-row one-hot window width; None -> capz.
 
     Returns:
       [B, H, W, hid + 1] float32: masked sum over K of
@@ -820,8 +882,9 @@ def fused_fusion(bins: DenseBins, z1t: jnp.ndarray, starts: jnp.ndarray,
                                cell_size, k, H, W,
                                radius_cells=radius_cells,
                                tile_rows=tile_rows, capz=capz,
-                               interpret=interpret, bwd_chunk=bwd_chunk,
-                               cascade=cascade, slot_group=slot_group)
+                               interpret=interpret, cascade=cascade,
+                               slot_group=slot_group, rstarts=rstarts,
+                               capr=capr)
 
 
 def fused_fusion_planes(planes: jnp.ndarray, z1t: jnp.ndarray,
@@ -830,14 +893,21 @@ def fused_fusion_planes(planes: jnp.ndarray, z1t: jnp.ndarray,
                         H: int, W: int, radius_cells: int = 1,
                         tile_rows: int = 8, capz: int = 2048,
                         interpret: bool = False,
-                        bwd_chunk: int = 4096, cascade: str = "onepass",
-                        slot_group: int = 2) -> jnp.ndarray:
+                        cascade: str = "onepass", slot_group: int = 2,
+                        rstarts: jnp.ndarray | None = None,
+                        capr: int | None = None) -> jnp.ndarray:
     """`fused_fusion` on pre-built [B, D+1, C, RP, WP] planes (see
     `bin_points_planes` -- skips the bins transpose on the hot path)."""
     planes = jax.lax.stop_gradient(planes)
-    out = _fused_fusion_p(planes, z1t, starts, wgt, bg, origin, cell_size,
-                          k, radius_cells, tile_rows, capz, H, W, interpret,
-                          bwd_chunk, planes.shape[2], cascade, slot_group)
+    _, H_eff, _, _, _ = _plane_geometry(H, W, radius_cells, tile_rows)
+    if rstarts is None or capr is None:
+        capr = capz
+        rstarts = jnp.zeros((planes.shape[0], H_eff), jnp.int32)
+    assert capr <= capz and capr % 128 == 0, (capr, capz)
+    out = _fused_fusion_p(planes, z1t, starts, rstarts, wgt, bg, origin,
+                          cell_size, k, radius_cells, tile_rows, capz,
+                          capr, H, W, interpret, planes.shape[2], cascade,
+                          slot_group)
     return jnp.transpose(out, (0, 2, 3, 1))
 
 

@@ -19,13 +19,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from dcf.ops.pallas.fusion_kernel import (_plane_geometry, bin_points_planes,
-                                          fused_fusion_planes, slab_starts)
+                                          fused_fusion_planes,
+                                          fusion_windows)
 from dcf.utils.profiling import device_latency
 
 GX, GY = 704, 800          # flagship grid (voxel 0.1, 70.4 x 80 m)
 P = 24576
 HID, K, C, R, TR = 64, 4, 8, 1, 8
 ZCAP = 1536
+RCAP = 512
 
 
 def make_scale(stride, rng):
@@ -53,12 +55,15 @@ def make_scale(stride, rng):
                                (0.0, -40.0), cell, (H, W), C, R, TR)
     TH, H_eff, _, _, _ = _plane_geometry(H, W, R, TR)
     NS = H_eff // TH
-    starts, _ = slab_starts(jnp.asarray(fine_row), NS, TH, R, ratio,
-                            capz, P)
-    z1t = jnp.asarray(rng.normal(size=(1, HID, P)), jnp.bfloat16)
+    capr = min(RCAP * ratio, capz)
+    starts, rstarts, over = fusion_windows(jnp.asarray(fine_row), NS, TH,
+                                           R, ratio, capz, capr, P)
+    print(f"  s{stride}: row-window overflow {int(jnp.sum(over))}")
+    z1t = jnp.asarray(rng.normal(size=(1, P, HID)), jnp.bfloat16)
     wgt = jnp.asarray(rng.normal(size=(HID, 4)) * 0.3, jnp.float32)
     bg = jnp.zeros((HID, 1), jnp.float32)
-    return (planes[None], z1t, starts[None], wgt, bg, cell, H, W, capz)
+    return (planes[None], z1t, starts[None], rstarts[None], wgt, bg,
+            cell, H, W, capz, capr)
 
 
 def main():
@@ -69,20 +74,26 @@ def main():
     print(f"{'variant':>12} " + " ".join(f"s{s:<2}" for s in scales)
           + "   total(ms)")
     for cas, sg in variants:
-        total = 0.0
-        cols = []
-        for s, (planes, z1t, starts, wgt, bg, cell, H, W, capz) in \
-                scales.items():
-            part = functools.partial(
-                fused_fusion_planes, origin=(0.0, -40.0), cell_size=cell,
-                k=K, H=H, W=W, radius_cells=R, tile_rows=TR, capz=capz,
-                cascade=cas, slot_group=sg)
-            fn = jax.jit(lambda *a, _p=part: _p(*a).sum())
-            ms = 1e3 * device_latency(fn, (planes, z1t, starts, wgt, bg))
-            total += ms
-            cols.append(f"{ms:5.2f}")
-        name = cas if cas == "onepass" else f"{cas}-sg{sg}"
-        print(f"{name:>12} " + " ".join(cols) + f"   {total:6.2f}")
+        for windowed in (False, True):
+            total = 0.0
+            cols = []
+            for s, (planes, z1t, starts, rstarts, wgt, bg, cell, H, W,
+                    capz, capr) in scales.items():
+                part = functools.partial(
+                    fused_fusion_planes, origin=(0.0, -40.0),
+                    cell_size=cell, k=K, H=H, W=W, radius_cells=R,
+                    tile_rows=TR, capz=capz, cascade=cas, slot_group=sg,
+                    capr=capr if windowed else None)
+                fn = jax.jit(lambda p, z, st, rs, w, b, _p=part:
+                             _p(p, z, st, w, b,
+                                rstarts=rs if windowed else None).sum())
+                ms = 1e3 * device_latency(
+                    fn, (planes, z1t, starts, rstarts, wgt, bg))
+                total += ms
+                cols.append(f"{ms:5.2f}")
+            name = cas if cas == "onepass" else f"{cas}-sg{sg}"
+            name += "-rw" if windowed else ""
+            print(f"{name:>15} " + " ".join(cols) + f"   {total:6.2f}")
 
 
 if __name__ == "__main__":

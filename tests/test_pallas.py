@@ -54,7 +54,7 @@ class TestFusedFusionKernel:
     """Fused per-scale fusion kernel vs its jnp twin, values + gradients."""
 
     def _mk(self, seed, H=32, W=128, cap=4, K=2, hid=16, P=512):
-        from dcf.ops.pallas.fusion_kernel import slab_starts
+        from dcf.ops.pallas.fusion_kernel import fusion_windows
         rng = np.random.default_rng(seed)
         # fine-grid-sorted points (sorted by row-major cell id)
         pts = np.zeros((P, 4), np.float32)
@@ -77,26 +77,26 @@ class TestFusedFusionKernel:
         z1 = jnp.asarray(rng.normal(size=(1, P, hid)), jnp.bfloat16)
         wgt = jnp.asarray(rng.normal(size=(hid, 4)) * 0.3, jnp.float32)
         bg = jnp.asarray(rng.normal(size=(hid, 1)) * 0.1, jnp.float32)
-        TH, capz = 8, 256
+        TH, capz, capr = 8, 256, 128
         NS = (H + TH - 1) // TH
-        starts, overflow = slab_starts(jnp.asarray(fine_row), NS, TH, 1,
-                                       1, capz, P)
+        starts, rstarts, overflow = fusion_windows(
+            jnp.asarray(fine_row), NS, TH, 1, 1, capz, capr, P)
         assert int(jnp.max(overflow)) == 0
-        return bbins, z1, starts[None], wgt, bg, (H, W, K, capz)
+        return (bbins, z1, starts[None], rstarts[None], wgt, bg,
+                (H, W, K, capz, capr))
 
     @pytest.mark.parametrize("seed", [0, 1])
     def test_matches_jnp_twin(self, seed):
         import jax
         from dcf.ops.pallas.fusion_kernel import (fused_fusion,
                                                   fused_fusion_reference)
-        bbins, z1, starts, wgt, bg, (H, W, K, capz) = self._mk(seed)
+        bbins, z1, starts, rstarts, wgt, bg, (H, W, K, capz, capr) = \
+            self._mk(seed)
         ref = fused_fusion_reference(bbins, z1, wgt, bg, (0.0, 0.0), 1.0,
                                      K, 1)
-        z1t = jnp.pad(jnp.transpose(z1, (0, 2, 1)),
-                      ((0, 0), (0, 0), (0, 0)))
-        got = fused_fusion(bbins, z1t, starts, wgt, bg, (0.0, 0.0), 1.0,
+        got = fused_fusion(bbins, z1, starts, wgt, bg, (0.0, 0.0), 1.0,
                            K, radius_cells=1, tile_rows=8, capz=capz,
-                           interpret=True)
+                           interpret=True, rstarts=rstarts, capr=capr)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
         # count channel: integers in [0, K]
@@ -110,12 +110,13 @@ class TestFusedFusionKernel:
         identical neighbor set (slot order may differ -- the K-sum is
         permutation-invariant up to float reassociation)."""
         from dcf.ops.pallas.fusion_kernel import fused_fusion
-        bbins, z1, starts, wgt, bg, (H, W, K, capz) = self._mk(9)
-        z1t = jnp.transpose(z1, (0, 2, 1))
-        kw = dict(radius_cells=1, tile_rows=8, capz=capz, interpret=True)
-        one = fused_fusion(bbins, z1t, starts, wgt, bg, (0.0, 0.0), 1.0,
+        bbins, z1, starts, rstarts, wgt, bg, (H, W, K, capz, capr) = \
+            self._mk(9)
+        kw = dict(radius_cells=1, tile_rows=8, capz=capz, interpret=True,
+                  rstarts=rstarts, capr=capr)
+        one = fused_fusion(bbins, z1, starts, wgt, bg, (0.0, 0.0), 1.0,
                            K, cascade="onepass", **kw)
-        two = fused_fusion(bbins, z1t, starts, wgt, bg, (0.0, 0.0), 1.0,
+        two = fused_fusion(bbins, z1, starts, wgt, bg, (0.0, 0.0), 1.0,
                            K, cascade="twopass", slot_group=sg, **kw)
         # count channel counts the selected set: must be exactly equal
         np.testing.assert_array_equal(np.asarray(one)[..., -1],
@@ -127,7 +128,8 @@ class TestFusedFusionKernel:
         import jax
         from dcf.ops.pallas.fusion_kernel import (fused_fusion,
                                                   fused_fusion_reference)
-        bbins, z1, starts, wgt, bg, (H, W, K, capz) = self._mk(4)
+        bbins, z1, starts, rstarts, wgt, bg, (H, W, K, capz, capr) = \
+            self._mk(4)
         probe = jnp.asarray(
             np.random.default_rng(13).normal(size=(1, H, W, z1.shape[-1]
                                                    + 1)), jnp.float32)
@@ -138,11 +140,12 @@ class TestFusedFusionKernel:
             return jnp.sum(out * probe)
 
         def loss_ker(z1f, wgt, bg):
-            z1t = jnp.transpose(z1f.astype(jnp.bfloat16), (0, 2, 1))
-            out = fused_fusion(bbins, z1t, starts, wgt, bg, (0.0, 0.0),
+            out = fused_fusion(bbins, z1f.astype(jnp.bfloat16), starts,
+                               wgt, bg, (0.0, 0.0),
                                1.0, K, radius_cells=1, tile_rows=8,
                                capz=capz, interpret=True,
-                               cascade="twopass")
+                               cascade="twopass", rstarts=rstarts,
+                               capr=capr)
             return jnp.sum(out * probe)
 
         z1f = z1.astype(jnp.float32)
@@ -157,7 +160,8 @@ class TestFusedFusionKernel:
         import jax
         from dcf.ops.pallas.fusion_kernel import (fused_fusion,
                                                   fused_fusion_reference)
-        bbins, z1, starts, wgt, bg, (H, W, K, capz) = self._mk(3)
+        bbins, z1, starts, rstarts, wgt, bg, (H, W, K, capz, capr) = \
+            self._mk(3)
         probe = jnp.asarray(
             np.random.default_rng(7).normal(size=(1, H, W, z1.shape[-1]
                                                   + 1)), jnp.float32)
@@ -168,10 +172,11 @@ class TestFusedFusionKernel:
             return jnp.sum(out * probe)
 
         def loss_ker(z1f, wgt, bg):
-            z1t = jnp.transpose(z1f.astype(jnp.bfloat16), (0, 2, 1))
-            out = fused_fusion(bbins, z1t, starts, wgt, bg, (0.0, 0.0),
+            out = fused_fusion(bbins, z1f.astype(jnp.bfloat16), starts,
+                               wgt, bg, (0.0, 0.0),
                                1.0, K, radius_cells=1, tile_rows=8,
-                               capz=capz, interpret=True)
+                               capz=capz, interpret=True,
+                               rstarts=rstarts, capr=capr)
             return jnp.sum(out * probe)
 
         z1f = z1.astype(jnp.float32)
@@ -189,33 +194,39 @@ class TestFusedFusionKernel:
             cos = float(np.dot(a.ravel(), b.ravel()) / max(denom, 1e-9))
             assert cos > 0.999, (name, cos)
 
-    def test_chunked_backward_matches_unchunked(self):
-        """The VMEM-bounding chunk axis (grid dim 3, used when capz is
-        large at coarse strides) must not change any cotangent."""
+    def test_row_window_matches_full_window(self):
+        """The per-row z1 window (capr < capz, the production FLOP
+        saver) must not change the forward or any cotangent vs running
+        every row against the whole slab."""
         import jax
         from dcf.ops.pallas.fusion_kernel import fused_fusion
-        bbins, z1, starts, wgt, bg, (H, W, K, capz) = self._mk(5)
+        bbins, z1, starts, rstarts, wgt, bg, (H, W, K, capz, capr) = \
+            self._mk(5)
         probe = jnp.asarray(
             np.random.default_rng(11).normal(size=(1, H, W, z1.shape[-1]
                                                    + 1)), jnp.float32)
 
-        def loss(z1f, wgt, bg, bwd_chunk):
-            z1t = jnp.transpose(z1f.astype(jnp.bfloat16), (0, 2, 1))
-            out = fused_fusion(bbins, z1t, starts, wgt, bg, (0.0, 0.0),
+        def loss(z1f, wgt, bg, rs, cr):
+            out = fused_fusion(bbins, z1f.astype(jnp.bfloat16), starts,
+                               wgt, bg, (0.0, 0.0),
                                1.0, K, radius_cells=1, tile_rows=8,
                                capz=capz, interpret=True,
-                               bwd_chunk=bwd_chunk)
-            return jnp.sum(out * probe)
+                               rstarts=rs, capr=cr)
+            return jnp.sum(out * probe), out
 
         z1f = z1.astype(jnp.float32)
-        g_full = jax.grad(loss, argnums=(0, 1, 2))(z1f, wgt, bg, capz)
-        g_chunk = jax.grad(loss, argnums=(0, 1, 2))(z1f, wgt, bg, capz // 4)
-        # d_z1: every pair handled by exactly one chunk -> bit-identical
+        (_, o_full), g_full = jax.value_and_grad(
+            loss, argnums=(0, 1, 2), has_aux=True)(z1f, wgt, bg,
+                                                   None, None)
+        (_, o_win), g_win = jax.value_and_grad(
+            loss, argnums=(0, 1, 2), has_aux=True)(z1f, wgt, bg,
+                                                   rstarts, capr)
+        # identical pair set selected -> identical sums, element-wise
+        np.testing.assert_array_equal(np.asarray(o_full),
+                                      np.asarray(o_win))
         np.testing.assert_array_equal(np.asarray(g_full[0]),
-                                      np.asarray(g_chunk[0]), err_msg="z1")
-        # d_wg/d_bg: the chunks partition the pair sum (reordered float
-        # reduction only)
-        for a, b, name in zip(g_full[1:], g_chunk[1:], ("wgt", "bg")):
+                                      np.asarray(g_win[0]), err_msg="z1")
+        for a, b, name in zip(g_full[1:], g_win[1:], ("wgt", "bg")):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4, err_msg=name)
 
@@ -225,7 +236,7 @@ class TestFusedFusionKernel:
         bins = bin_points_dense(jnp.zeros((P, 4)), jnp.zeros(P, bool),
                                 (0.0, 0.0), 1.0, (H, W), cap)
         bbins = jax.tree.map(lambda x: x[None], bins)
-        z1t = jnp.zeros((1, hid, P), jnp.bfloat16)
+        z1t = jnp.zeros((1, P, hid), jnp.bfloat16)
         out = fused_fusion(bbins, z1t, jnp.zeros((1, 1), jnp.int32),
                            jnp.zeros((hid, 4)), jnp.zeros((hid, 1)),
                            (0.0, 0.0), 1.0, K, radius_cells=1,
