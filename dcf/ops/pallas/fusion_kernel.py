@@ -17,8 +17,11 @@ One kernel per scale does, per BEV pixel:
 
 The z1 slab trick: points are pre-sorted by fine-BEV-grid row (row-major
 cell id), so the neighbors of any row-slab of pixels occupy one contiguous
-index range of the z1 table. Each program DMAs that range ([capz, hid]
-bf16, point-major) into VMEM; selection contracts a one-hot(lidx) against
+index range of the z1 table. The table is kept FEATURE-MAJOR [B, hid, P]
+so every dynamic slab/window slice runs along the lane (point) axis in
+128-aligned strides -- Mosaic rejects dynamic lane slices of the hid=64
+dim (not a multiple of the 128-lane tiling). Each program DMAs its range
+([hid, capz] bf16) into VMEM; selection contracts a one-hot(lidx) against
 a per-ROW window of the slab on the MXU -- each BEV row only reaches
 points in (1 + 2r) of the slab's (tile_rows + 2r) fine rows
 (`fusion_windows`), so the one-hot runs `capr` ~ 3x narrower than the
@@ -510,7 +513,7 @@ def _fwd_kernel(starts_ref, rstarts_ref, planes_hbm, z1t_hbm, wsmall_ref,
     cp = pltpu.make_async_copy(
         planes_hbm.at[b, :, :, pl.ds(ti * TH, TS), :], scr, sem_p)
     cz = pltpu.make_async_copy(
-        z1t_hbm.at[b, pl.ds(start, CAPZ), :], z1scr, sem_z)
+        z1t_hbm.at[b, :, pl.ds(start, CAPZ)], z1scr, sem_z)
     cp.start()
     cz.start()
     cp.wait()
@@ -547,7 +550,7 @@ def _fwd_kernel(starts_ref, rstarts_ref, planes_hbm, z1t_hbm, wsmall_ref,
         # flops on the kernel's dominant matmul)
         roff = rstarts_ref[b, ti * TH + rr]
         roff = pl.multiple_of(roff, 128)
-        slab_r = z1scr[pl.ds(roff, CAPR), :]                  # [CAPR, HID]
+        slab_r = z1scr[:, pl.ds(roff, CAPR)]                  # [HID, CAPR]
         rbasef = startf + roff.astype(jnp.float32)
         for k in range(K):
             d_r = top_d[k][rr:rr + 1, :W]
@@ -557,7 +560,7 @@ def _fwd_kernel(starts_ref, rstarts_ref, planes_hbm, z1t_hbm, wsmall_ref,
             key = jnp.where(ok, lidx, -1.0).astype(jnp.int32)
             oh = (iota_cr == key).astype(jnp.bfloat16)        # [CAPR, W]
             z1sel = jax.lax.dot_general(
-                slab_r, oh, (((0,), (0,)), ((), ())),
+                slab_r, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # [HID, W]
             geo = (top_p[k][0][rr:rr + 1, :W] - cxr,
                    top_p[k][1][rr:rr + 1, :W] - cyr,
@@ -614,11 +617,11 @@ def _bwd_kernel(starts_ref, rstarts_ref, z1t_hbm, wsmall_ref, dacc_ref,
     start = pl.multiple_of(start, 128)
 
     cz = pltpu.make_async_copy(
-        z1t_hbm.at[b, pl.ds(start, CAPZ), :], z1scr, sem_z)
+        z1t_hbm.at[b, :, pl.ds(start, CAPZ)], z1scr, sem_z)
     cz.start()
     cz.wait()
 
-    dz1_ref[0, 0] = jnp.zeros((CAPZ, HID), jnp.float32)
+    dz1_ref[0, 0] = jnp.zeros((HID, CAPZ), jnp.float32)
     iota_cr = jax.lax.broadcasted_iota(jnp.int32, (CAPR, W), 0)
     cyr = origin[1] + (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
                        .astype(jnp.float32) + 0.5) * cell_size
@@ -630,9 +633,9 @@ def _bwd_kernel(starts_ref, rstarts_ref, z1t_hbm, wsmall_ref, dacc_ref,
                + ((ti * TH + rr).astype(jnp.float32) + 0.5) * cell_size)
         roff = rstarts_ref[b, ti * TH + rr]
         roff = pl.multiple_of(roff, 128)
-        slab_r = z1scr[pl.ds(roff, CAPR), :]                  # [CAPR, HID]
+        slab_r = z1scr[:, pl.ds(roff, CAPR)]                  # [HID, CAPR]
         rbasef = startf + roff.astype(jnp.float32)
-        drow = jnp.zeros((CAPR, HID), jnp.float32)
+        drow = jnp.zeros((HID, CAPR), jnp.float32)
         for k in range(K):
             base = 5 * k
             px = stash_ref[0, base + 0, rr:rr + 1, :]         # [1, W]
@@ -646,7 +649,7 @@ def _bwd_kernel(starts_ref, rstarts_ref, z1t_hbm, wsmall_ref, dacc_ref,
             key = jnp.where(ok, lidx, -1.0).astype(jnp.int32)
             oh = (iota_cr == key).astype(jnp.bfloat16)        # [CAPR, W]
             z1sel = jax.lax.dot_general(
-                slab_r, oh, (((0,), (0,)), ((), ())),
+                slab_r, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # [HID, W]
             geo = (px - cxr, py - cyr, pz,
                    jnp.sqrt(jnp.minimum(d_r, 1e6)))
@@ -657,17 +660,17 @@ def _bwd_kernel(starts_ref, rstarts_ref, z1t_hbm, wsmall_ref, dacc_ref,
             live = (pre > 0.0).astype(jnp.float32) * ok.astype(jnp.float32)
             dpre = da * live                                  # [HID, W]
             # d_z1 segment-sum on the MXU: contract the pixel axis of
-            # both operands -- d_z1[c, h] = sum_pix oh * dpre
+            # both operands -- d_z1[h, c] = sum_pix dpre * oh
             drow = drow + jax.lax.dot_general(
-                oh, dpre.astype(jnp.bfloat16),
+                dpre.astype(jnp.bfloat16), oh,
                 (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)           # [CAPR, HID]
+                preferred_element_type=jnp.float32)           # [HID, CAPR]
             for f in range(4):
                 dsm[f] = dsm[f] + jnp.sum(dpre * geo[f], axis=1,
                                           keepdims=True)
             dsm[4] = dsm[4] + jnp.sum(dpre, axis=1, keepdims=True)
-        cur = dz1_ref[0, 0, pl.ds(roff, CAPR), :]
-        dz1_ref[0, 0, pl.ds(roff, CAPR), :] = cur + drow
+        cur = dz1_ref[0, 0, :, pl.ds(roff, CAPR)]
+        dz1_ref[0, 0, :, pl.ds(roff, CAPR)] = cur + drow
     for f in range(5):
         dsmall_ref[0, 0, :, f:f + 1] = dsm[f]
 
@@ -679,7 +682,7 @@ def _bwd_kernel(starts_ref, rstarts_ref, z1t_hbm, wsmall_ref, dacc_ref,
 def _sizes(planes, z1t, tile_rows, r, H, W):
     B = planes.shape[0]
     C = planes.shape[2]
-    HID = z1t.shape[2]                 # z1t is point-major [B, P_pad, hid]
+    HID = z1t.shape[1]                 # z1t is feature-major [B, hid, P_pad]
     TH, H_eff, TS, WP, RP = _plane_geometry(H, W, r, tile_rows)
     NS = H_eff // TH
     return B, C, HID, TH, H_eff, TS, WP, NS
@@ -719,7 +722,7 @@ def _fwd_impl(planes, z1t, starts, rstarts, wgt, bg, origin, cell_size, k,
                                lambda b, i, *_: (b, 0, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((_D + 1, C, TS, WP), jnp.float32),
-            pltpu.VMEM((capz, HID), jnp.bfloat16),
+            pltpu.VMEM((HID, capz), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -740,7 +743,7 @@ def _bwd_impl(stash, z1t, starts, rstarts, wgt, bg, dacc, origin,
               interpret):
     """stash: [B, 5*k, H_eff, W] forward-stashed selections."""
     B = z1t.shape[0]
-    HID = z1t.shape[2]
+    HID = z1t.shape[1]
     TH, H_eff, TS, WP, RP = _plane_geometry(H, W, radius_cells, tile_rows)
     NS = H_eff // TH
     dacc = jnp.pad(dacc, ((0, 0), (0, 0), (0, H_eff - H), (0, 0)))
@@ -758,13 +761,13 @@ def _bwd_impl(stash, z1t, starts, rstarts, wgt, bg, dacc, origin,
                          lambda b, i, *_: (b, 0, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, capz, HID),
+            pl.BlockSpec((1, 1, HID, capz),
                          lambda b, i, *_: (b, i, 0, 0)),
             pl.BlockSpec((1, 1, HID, 128),
                          lambda b, i, *_: (b, i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((capz, HID), jnp.bfloat16),
+            pltpu.VMEM((HID, capz), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -772,23 +775,23 @@ def _bwd_impl(stash, z1t, starts, rstarts, wgt, bg, dacc, origin,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, NS, capz, HID), jnp.float32),
+            jax.ShapeDtypeStruct((B, NS, HID, capz), jnp.float32),
             jax.ShapeDtypeStruct((B, NS, HID, 128), jnp.float32),
         ],
         interpret=interpret,
     )(starts, rstarts, z1t, _pack_small(wgt, bg), dacc, stash)
 
     # combine per-slab ranges (they overlap only in halo rows) into the
-    # full [B, P_pad, HID] cotangent with NS unrolled slice-adds
-    P_pad = z1t.shape[1]
-    dz1t = jnp.zeros((B, P_pad, HID), jnp.float32)
+    # full [B, HID, P_pad] cotangent with NS unrolled slice-adds
+    P_pad = z1t.shape[2]
+    dz1t = jnp.zeros((B, HID, P_pad), jnp.float32)
 
     def add_slab(dz1t_b, slabs_b, starts_b):
         for ti in range(slabs_b.shape[0]):
             cur = jax.lax.dynamic_slice(
-                dz1t_b, (starts_b[ti], 0), (capz, HID))
+                dz1t_b, (0, starts_b[ti]), (HID, capz))
             dz1t_b = jax.lax.dynamic_update_slice(
-                dz1t_b, cur + slabs_b[ti], (starts_b[ti], 0))
+                dz1t_b, cur + slabs_b[ti], (0, starts_b[ti]))
         return dz1t_b
 
     dz1t = jax.vmap(add_slab)(dz1t, dz1_slabs, starts)
@@ -813,7 +816,7 @@ def _fused_fusion_fwd(planes, z1t, starts, rstarts, wgt, bg, origin,
                       cell_size, k, radius_cells, tile_rows, capz, capr,
                       H, W, interpret, plane_capacity, cascade,
                       slot_group):
-    HID = z1t.shape[2]
+    HID = z1t.shape[1]
     full = _fwd_impl(planes, z1t, starts, rstarts, wgt, bg, origin,
                      cell_size, k, radius_cells, tile_rows, capz, capr,
                      H, W, interpret, stash=True, cascade=cascade,
@@ -833,7 +836,7 @@ def _fused_fusion_bwd(origin, cell_size, k, radius_cells, tile_rows, capz,
     # g: [B, HID+1, H, W]; the count channel's cotangent carries no
     # parameter dependence (count = sum of geometric masks)
     dz1t, dwgt, dbg = _bwd_impl(
-        stash, z1t, starts, rstarts, wgt, bg, g[:, :z1t.shape[2]], origin,
+        stash, z1t, starts, rstarts, wgt, bg, g[:, :z1t.shape[1]], origin,
         cell_size, k, radius_cells, tile_rows, capz, capr, H, W,
         interpret)
     _, _, _, WP, RP = _plane_geometry(H, W, radius_cells, tile_rows)
@@ -904,6 +907,11 @@ def fused_fusion_planes(planes: jnp.ndarray, z1t: jnp.ndarray,
         capr = capz
         rstarts = jnp.zeros((planes.shape[0], H_eff), jnp.int32)
     assert capr <= capz and capr % 128 == 0, (capr, capz)
+    # kernel-internal layout is feature-major [B, hid, P_pad]: all
+    # dynamic slab/window slices then run along the 128-aligned point
+    # (lane) axis -- Mosaic rejects dynamic slices of the 64-wide hid
+    # dim. Autodiff routes the cotangent back through this transpose.
+    z1t = jnp.transpose(z1t, (0, 2, 1))
     out = _fused_fusion_p(planes, z1t, starts, rstarts, wgt, bg, origin,
                           cell_size, k, radius_cells, tile_rows, capz,
                           capr, H, W, interpret, planes.shape[2], cascade,

@@ -77,7 +77,11 @@ class TestFusedFusionKernel:
         z1 = jnp.asarray(rng.normal(size=(1, P, hid)), jnp.bfloat16)
         wgt = jnp.asarray(rng.normal(size=(hid, 4)) * 0.3, jnp.float32)
         bg = jnp.asarray(rng.normal(size=(hid, 1)) * 0.1, jnp.float32)
-        TH, capz, capr = 8, 256, 128
+        # capr must cover a row's 3-fine-row range plus up to 127 slots
+        # of down-rounded window alignment; (384, 256) is the smallest
+        # 128-multiple pair with zero overflow across the test seeds
+        # while still exercising nonzero roffs and slab-start clipping
+        TH, capz, capr = 8, 384, 256
         NS = (H + TH - 1) // TH
         starts, rstarts, overflow = fusion_windows(
             jnp.asarray(fine_row), NS, TH, 1, 1, capz, capr, P)
