@@ -197,11 +197,15 @@ class ContinuousFusionLayer(nn.Module):
             TH, H_eff, _, _, _ = _plane_geometry(
                 H, W, r, fus.pallas_tile_rows)
             NS = H_eff // TH
-            # the fused kernel's z1 slab is point-major bf16 (VMEM
-            # budget; the layout feeds straight from the bilinear sample
-            # with no transpose); cast at the boundary
-            z1t = jnp.pad(z1.astype(jnp.bfloat16),
-                          ((0, 0), (0, P_pad - P), (0, 0)))  # [B, P, hid]
+            # the fused kernel's z1 slab is FEATURE-major bf16
+            # ([B, hid, P_pad]: dynamic window slices must run along the
+            # 128-aligned point/lane axis); transpose + cast + pad here
+            # at the sampling boundary so XLA fuses them into one copy
+            # instead of a separate HBM relayout inside every kernel
+            # call (ADVICE r3)
+            z1t = jnp.pad(jnp.transpose(z1.astype(jnp.bfloat16),
+                                        (0, 2, 1)),
+                          ((0, 0), (0, 0), (0, P_pad - P)))  # [B,hid,P_pad]
             starts, rstarts, overflow = jax.vmap(
                 lambda fr: fusion_windows(fr, NS, TH, r, ratio, capz,
                                           capr, P_pad))(fine_row)

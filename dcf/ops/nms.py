@@ -17,45 +17,6 @@ import jax.numpy as jnp
 from dcf.geometry.boxes import rotated_iou_bev
 
 
-def greedy_select(iou: jnp.ndarray, scores: jnp.ndarray,
-                  valid: jnp.ndarray, iou_threshold: float,
-                  max_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact greedy NMS as `max_out` pick-argmax-and-suppress rounds.
-
-    Looping over *output slots* (tens) instead of sweeping all K candidates
-    (hundreds) cuts the sequential device-op count ~an order of magnitude —
-    each fori_loop iteration on TPU costs fixed overhead, so the loop trip
-    count is the latency driver, not the per-trip vector work.
-
-    Args:
-      iou: [K, K] pairwise IoU.
-      scores: [K] (higher first).
-      valid: [K] initial candidate validity.
-
-    Returns:
-      (indices[max_out] int32, keep_mask[max_out] bool).
-    """
-    K = iou.shape[0]
-    neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
-    live = jnp.where(valid, scores.astype(jnp.float32), neg_inf)
-
-    def body(i, state):
-        live, keep_idx, keep_ok = state
-        best = jnp.argmax(live).astype(jnp.int32)
-        ok = live[best] > neg_inf
-        keep_idx = keep_idx.at[i].set(best)
-        keep_ok = keep_ok.at[i].set(ok)
-        kill = (iou[best] > iou_threshold) | (jnp.arange(K) == best)
-        live = jnp.where(ok & kill, neg_inf, live)
-        return live, keep_idx, keep_ok
-
-    _, keep_idx, keep_ok = jax.lax.fori_loop(
-        0, max_out, body,
-        (live, jnp.zeros((max_out,), jnp.int32),
-         jnp.zeros((max_out,), bool)))
-    return keep_idx, keep_ok
-
-
 def rotated_nms_parallel(boxes_bev: jnp.ndarray, scores: jnp.ndarray,
                          valid: jnp.ndarray, iou_threshold: float,
                          max_out: int,

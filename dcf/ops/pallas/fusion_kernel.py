@@ -881,6 +881,9 @@ def fused_fusion(bins: DenseBins, z1t: jnp.ndarray, starts: jnp.ndarray,
     B, H, W, C, D = bins.data.shape
     assert D == _D, f"payload must be (x, y, z, gidx), got D={D}"
     planes = build_planes(bins, radius_cells, tile_rows)
+    # convenience wrapper (tests / twin parity): fused_fusion_planes
+    # takes the kernel's feature-major layout
+    z1t = jnp.transpose(z1t, (0, 2, 1))
     return fused_fusion_planes(planes, z1t, starts, wgt, bg, origin,
                                cell_size, k, H, W,
                                radius_cells=radius_cells,
@@ -900,18 +903,20 @@ def fused_fusion_planes(planes: jnp.ndarray, z1t: jnp.ndarray,
                         rstarts: jnp.ndarray | None = None,
                         capr: int | None = None) -> jnp.ndarray:
     """`fused_fusion` on pre-built [B, D+1, C, RP, WP] planes (see
-    `bin_points_planes` -- skips the bins transpose on the hot path)."""
+    `bin_points_planes` -- skips the bins transpose on the hot path).
+
+    z1t here is FEATURE-major [B, hid, P_pad] -- the kernel's internal
+    layout (dynamic slab/window slices must run along the 128-aligned
+    point/lane axis; Mosaic rejects dynamic slices of the 64-wide hid
+    dim). Callers transpose at the sampling boundary, where XLA fuses
+    it with the pad / cast instead of materializing an extra HBM
+    relayout per call (and its mirror in the backward)."""
     planes = jax.lax.stop_gradient(planes)
     _, H_eff, _, _, _ = _plane_geometry(H, W, radius_cells, tile_rows)
     if rstarts is None or capr is None:
         capr = capz
         rstarts = jnp.zeros((planes.shape[0], H_eff), jnp.int32)
     assert capr <= capz and capr % 128 == 0, (capr, capz)
-    # kernel-internal layout is feature-major [B, hid, P_pad]: all
-    # dynamic slab/window slices then run along the 128-aligned point
-    # (lane) axis -- Mosaic rejects dynamic slices of the 64-wide hid
-    # dim. Autodiff routes the cotangent back through this transpose.
-    z1t = jnp.transpose(z1t, (0, 2, 1))
     out = _fused_fusion_p(planes, z1t, starts, rstarts, wgt, bg, origin,
                           cell_size, k, radius_cells, tile_rows, capz,
                           capr, H, W, interpret, planes.shape[2], cascade,

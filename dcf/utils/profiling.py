@@ -66,14 +66,18 @@ def hlo_source_map(compiled_text: str) -> Dict[str, Tuple[str, str]]:
         src = f"{m.group(3)}:{m.group(4)}" if m.group(3) else ""
         out[m.group(1)] = (m.group(2), src)
 
-    # fused-computation bodies: majority source file per computation
+    # fused-computation bodies: majority source file AND majority op_name
+    # per computation (a fusion's own metadata often names only its root,
+    # which may be a reshape/copy -- the body majority names the module)
     comp_srcs: Dict[str, collections.Counter] = {}
+    comp_names: Dict[str, collections.Counter] = {}
     current = None
     for line in compiled_text.splitlines():
         head = re.match(r"\s*%?(fused_computation[\w.\-]*)\s*\(", line)
         if head:
             current = head.group(1)
             comp_srcs[current] = collections.Counter()
+            comp_names[current] = collections.Counter()
         elif current is not None:
             if line.strip() == "}":
                 current = None
@@ -82,16 +86,22 @@ def hlo_source_map(compiled_text: str) -> Dict[str, Tuple[str, str]]:
                               line)
                 if s:
                     comp_srcs[current][f"{s.group(1)}:{s.group(2)}"] += 1
+                n = re.search(r'op_name="([^"]*)"', line)
+                if n:
+                    comp_names[current][n.group(1)] += 1
     for m in re.finditer(
             r"%?([\w.\-]+) = [^\n]*?fusion\([^\n]*?calls=%?"
             r"(fused_computation[\w.\-]*)", compiled_text):
         op, comp = m.group(1), m.group(2)
-        if out.get(op, ("", ""))[1]:
+        have_name, have_src = out.get(op, ("", ""))
+        if have_name and have_src:
             continue
         counts = comp_srcs.get(comp)
-        if counts:
-            src, _ = counts.most_common(1)[0]
-            out[op] = (out.get(op, ("",))[0] or "(fusion-body)", src)
+        names = comp_names.get(comp)
+        src = have_src or (counts.most_common(1)[0][0] if counts else "")
+        nm = have_name or (names.most_common(1)[0][0] if names else "")
+        if src or nm:
+            out[op] = (nm, src)
     return out
 
 

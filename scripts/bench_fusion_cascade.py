@@ -59,7 +59,7 @@ def make_scale(stride, rng):
     starts, rstarts, over = fusion_windows(jnp.asarray(fine_row), NS, TH,
                                            R, ratio, capz, capr, P)
     print(f"  s{stride}: row-window overflow {int(jnp.sum(over))}")
-    z1t = jnp.asarray(rng.normal(size=(1, P, HID)), jnp.bfloat16)
+    z1t = jnp.asarray(rng.normal(size=(1, HID, P)), jnp.bfloat16)
     wgt = jnp.asarray(rng.normal(size=(HID, 4)) * 0.3, jnp.float32)
     bg = jnp.zeros((HID, 1), jnp.float32)
     return (planes[None], z1t, starts[None], rstarts[None], wgt, bg,
