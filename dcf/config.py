@@ -148,6 +148,14 @@ class FusionConfig:
     # frame_to_example (tests feeding hand-built unsorted batches must
     # leave it False or pre-sort).
     host_sorted_points: bool = True
+    # Per-scale binning ranks + the point projection computed on the
+    # HOST too (dcf.data.preprocess.fusion_host_arrays): removes the
+    # coarse-rank cumsum-image gathers + segmented scans from the
+    # device forward (~2.5 ms/frame at B=1 on v5e). Rides
+    # host_sorted_points (ranks index arrival order); batches without
+    # the "fusion_rank"/"points_uvz" keys fall back to on-device
+    # binning, so hand-built batches keep working.
+    host_binned_ranks: bool = True
     # Geometric features fed to the MLP alongside image features are
     # fixed at 4 channels ((dx, dy) pixel-center offset + point z + bev
     # distance), hardcoded in the fusion kernel and its jnp twin.

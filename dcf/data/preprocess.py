@@ -60,6 +60,67 @@ def sort_points_host(points: np.ndarray, mask: np.ndarray, cfg: Config):
     return points[order], mask[order]
 
 
+def fusion_host_arrays(points: np.ndarray, mask: np.ndarray,
+                       v2i: np.ndarray, cfg: Config) -> Dict[str, np.ndarray]:
+    """Per-scale fusion binning ranks + the projection, host half
+    (FusionConfig.host_binned_ranks).
+
+    The fusion binning needs, per point and per BEV scale, its stable
+    rank among its cell's valid points in arrival order. On device that
+    took segmented scans + 4 cumsum-image gathers per coarse scale
+    (12 gathers x 0.175 ms at B=1 on v5e); here it's O(P) numpy in the
+    prefetch pool. All arithmetic is float32 with the device formulas
+    (dcf.geometry.transforms.project_velo_to_image, dcf.ops.bilinear's
+    inside test, the voxel floor), and the device consumes `points_uvz`
+    instead of re-projecting, so plane construction is bit-identical to
+    the on-device path (tested). Points must already be in their final
+    (host-sorted) order: ranks index arrival order.
+
+    Returns:
+      {"points_uvz": [P, 3] f32 (u, v, depth),
+       "fusion_rank": [S, P] int32, -1 where the point is invalid for
+       that scale (padding / behind camera / outside that pyramid
+       level's image / outside the BEV grid), else the in-cell rank}.
+    """
+    vox = cfg.voxel
+    pts = points.astype(np.float32, copy=False)
+    m = v2i.astype(np.float32)
+    uvw = pts[:, :3] @ m[:, :3].T + m[:, 3]
+    depth = uvw[:, 2:3]
+    uv = (uvw[:, :2] / np.maximum(np.abs(depth), np.float32(1e-6))
+          * np.sign(depth))
+    uvz = np.concatenate([uv, depth], axis=-1).astype(np.float32)
+    in_front = uvz[:, 2] > 0.1
+
+    P = len(pts)
+    ranks = np.full((len(cfg.backbone.fusion_strides), P), -1, np.int32)
+    for si, s in enumerate(cfg.backbone.fusion_strides):
+        istride = min(2 * s, 32)                  # fusion.image_stride_for
+        Hi = cfg.image.height // istride
+        Wi = cfg.image.width // istride
+        u = uvz[:, 0] / np.float32(istride)
+        v = uvz[:, 1] / np.float32(istride)
+        inside = (u >= 0) & (u <= Wi - 1) & (v >= 0) & (v <= Hi - 1)
+        H, W = vox.grid_x // s, vox.grid_y // s
+        cell = np.float32(vox.voxel_size * s)
+        ix = np.floor((pts[:, 0] - np.float32(vox.x_min))
+                      / cell).astype(np.int64)
+        iy = np.floor((pts[:, 1] - np.float32(vox.y_min))
+                      / cell).astype(np.int64)
+        ok = (mask & in_front & inside
+              & (ix >= 0) & (ix < H) & (iy >= 0) & (iy < W))
+        cid = np.where(ok, ix * W + iy, H * W)
+        order = np.argsort(cid, kind="stable")   # keeps arrival order
+        sc = cid[order]
+        start = np.r_[True, sc[1:] != sc[:-1]]
+        run_start = np.maximum.accumulate(
+            np.where(start, np.arange(P), 0))
+        rank_sorted = np.arange(P) - run_start
+        valid_sorted = ok[order]
+        ranks[si, order[valid_sorted]] = rank_sorted[valid_sorted]
+    return {"points_uvz": uvz, "fusion_rank": ranks}
+
+
 def frame_to_example(frame: Frame, cfg: Config, seed: int = 0
                      ) -> Dict[str, np.ndarray]:
     """Build the static-shape example dict consumed by the jitted model."""
@@ -80,7 +141,7 @@ def frame_to_example(frame: Frame, cfg: Config, seed: int = 0
         gt_labels[:n] = frame.labels[:n]
         gt_mask[:n] = True
 
-    return {
+    out = {
         "points": points,
         "point_mask": mask,
         "image": image,
@@ -89,6 +150,13 @@ def frame_to_example(frame: Frame, cfg: Config, seed: int = 0
         "gt_labels": gt_labels,
         "gt_mask": gt_mask,
     }
+    if (cfg.with_fusion and cfg.fusion.host_binned_ranks
+            and cfg.fusion.host_sorted_points):
+        # ranks index arrival order, so they require the final (sorted)
+        # point order -- host_binned_ranks rides host_sorted_points
+        out.update(fusion_host_arrays(points, mask,
+                                      out["velo_to_image"], cfg))
+    return out
 
 
 def stack_examples(examples) -> Dict[str, np.ndarray]:

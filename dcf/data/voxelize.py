@@ -118,8 +118,59 @@ def rasterize_bev(points: jnp.ndarray, mask: jnp.ndarray,
     return jnp.concatenate([occ, inten.astype(dtype)], axis=-1)
 
 
+def rasterize_bev_s2d(points: jnp.ndarray, mask: jnp.ndarray,
+                      cfg: VoxelConfig, dtype=jnp.float32) -> jnp.ndarray:
+    """`rasterize_bev` emitted directly in space-to-depth(2) layout.
+
+    Output [gx/2, gy/2, 4*(nz+1)] with channel (a*2 + b)*(nz+1) + c ==
+    `rasterize_bev(...)[2p+a, 2q+b, c]` — bit-identical to s2d of the
+    reference raster (tested), but scattered straight into the layout
+    the BEV stage-0 conv consumes. The full-res [704, 800, 21] raster
+    forced XLA to relayout-copy the whole pseudo-image TWICE at the
+    stage-0 conv + its projection shortcut (2 x 0.49 ms at B=1 on v5e);
+    in s2d form stage 0 runs stride 1 on an 84-channel input (better
+    MXU lane utilization than 21) with no relayout. Points scatter with
+    the same update count as the reference raster, so the scatter cost
+    is unchanged.
+    """
+    gx, gy, nz = cfg.grid_x, cfg.grid_y, cfg.num_z_slices
+    gxh, gyh = gx // 2, gy // 2
+    inv_vox = 1.0 / cfg.voxel_size
+    inv_slice = 1.0 / cfg.z_slice_size
+    ix = jnp.floor((points[:, 0] - cfg.x_min) * inv_vox).astype(jnp.int32)
+    iy = jnp.floor((points[:, 1] - cfg.y_min) * inv_vox).astype(jnp.int32)
+    iz = jnp.floor((points[:, 2] - cfg.z_min) * inv_slice).astype(jnp.int32)
+    inb = (mask & (ix >= 0) & (ix < gx) & (iy >= 0) & (iy < gy)
+           & (iz >= 0) & (iz < nz))
+
+    ixh = ix >> 1
+    iyh = iy >> 1
+    blk = (ix & 1) * 2 + (iy & 1)                          # s2d channel block
+    C = nz + 1
+
+    # occupancy straight into the s2d channel position (drop via OOB row)
+    ixs = jnp.where(inb, ixh, gxh)
+    occ = jnp.zeros((gxh, gyh, 4, nz), dtype)
+    occ = occ.at[ixs, iyh, blk, iz].max(jnp.asarray(1.0, dtype),
+                                        mode="drop")
+
+    # mean intensity per ORIGINAL cell == per (s2d pixel, block) slot
+    cell = (ixh * gyh + iyh) * 4 + blk
+    cell_i = jnp.where(inb, cell, gxh * gyh * 4)
+    inten_sum = jnp.zeros((gxh * gyh * 4,), jnp.float32)
+    inten_sum = inten_sum.at[cell_i].add(
+        jnp.where(inb, points[:, 3], 0.0), mode="drop")
+    count = jnp.zeros((gxh * gyh * 4,), jnp.float32)
+    count = count.at[cell_i].add(jnp.where(inb, 1.0, 0.0), mode="drop")
+    inten = (inten_sum / jnp.maximum(count, 1.0)).reshape(gxh, gyh, 4, 1)
+
+    return jnp.concatenate([occ, inten.astype(dtype)],
+                           axis=-1).reshape(gxh, gyh, 4 * C)
+
+
 def rasterize_bev_batch(points: jnp.ndarray, mask: jnp.ndarray,
-                        cfg: VoxelConfig, dtype=jnp.float32) -> jnp.ndarray:
-    """[B, P, 4] x [B, P] -> [B, gx, gy, C]."""
-    return jax.vmap(lambda p, m: rasterize_bev(p, m, cfg, dtype))(points,
-                                                                  mask)
+                        cfg: VoxelConfig, dtype=jnp.float32,
+                        s2d: bool = False) -> jnp.ndarray:
+    """[B, P, 4] x [B, P] -> [B, gx, gy, C] (or the s2d layout)."""
+    fn = rasterize_bev_s2d if s2d else rasterize_bev
+    return jax.vmap(lambda p, m: fn(p, m, cfg, dtype))(points, mask)

@@ -47,10 +47,13 @@ class ContFuseDetector(nn.Module):
 
         # jnp unique-indices sorted-scatter is the ONE production
         # rasterizer (a Pallas slab kernel measured 3x slower on v5e and
-        # was retired -- see VoxelConfig's note)
+        # was retired -- see VoxelConfig's note). Emitted directly in
+        # space-to-depth(2) layout: stage 0 then runs stride 1 on an
+        # 84-channel input instead of relayout-copying the full-res
+        # 21-channel raster twice (~1 ms at B=1 on v5e).
         pseudo = rasterize_bev_batch(batch["points"],
                                      batch["point_mask"], cfg.voxel,
-                                     dtype=dtype)
+                                     dtype=dtype, s2d=True)
 
         img_feats = None
         if cfg.with_camera:
@@ -72,6 +75,13 @@ class ContFuseDetector(nn.Module):
                 pts_f, mask_f, fine_row = sort_points_for_fusion(
                     batch["points"], batch["point_mask"], cfg.voxel,
                     fine)
+            # host-precomputed projection + per-scale binning ranks
+            # (dcf.data.preprocess.fusion_host_arrays); hand-built
+            # batches without the keys fall back to on-device binning
+            uvz = batch.get("points_uvz")
+            ranks = batch.get("fusion_rank")      # [B, S, P]
+            if not cfg.fusion.host_binned_ranks:
+                uvz = ranks = None
 
         # no stride-1 stem: a full-resolution conv + norm over the
         # 704x800 grid costs ~2.5 ms for little accuracy benefit; stage 0
@@ -80,7 +90,12 @@ class ContFuseDetector(nn.Module):
         feats: Dict[int, jnp.ndarray] = {}
         stride = 1
         for stage, channels in enumerate(cfg.backbone.bev_stage_channels):
-            x = BasicBlock(channels, stride=2, dtype=dtype,
+            # stage 0's stride-2 is already baked into the s2d raster:
+            # kernel-2/stride-1 entry conv covers the same spatial taps
+            # as 3x3/stride-2 on the full-res pseudo-image
+            s0 = stage == 0
+            x = BasicBlock(channels, stride=1 if s0 else 2,
+                           entry_kernel=2 if s0 else 3, dtype=dtype,
                            quant=cfg.backbone.quant_mode,
                            name=f"bev_stage{stage}_block0")(x)
             for b in range(cfg.backbone.bev_blocks_per_stage[stage] - 1):
@@ -90,12 +105,15 @@ class ContFuseDetector(nn.Module):
             stride *= 2
             if cfg.with_fusion and stride in cfg.backbone.fusion_strides:
                 img_stride = image_stride_for(stride, cfg)
+                si = cfg.backbone.fusion_strides.index(stride)
                 fused = ContinuousFusionLayer(
                     cfg, out_channels=channels, bev_stride=stride,
                     image_stride=img_stride,
                     name=f"fusion_s{stride}")(
                         pts_f, mask_f, fine_row,
-                        batch["velo_to_image"], img_feats[img_stride])
+                        batch["velo_to_image"], img_feats[img_stride],
+                        uvz=uvz,
+                        rank=None if ranks is None else ranks[:, si])
                 x = x + fused.astype(dtype)
             feats[stride] = x
 

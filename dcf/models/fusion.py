@@ -34,6 +34,7 @@ from dcf.ops.bilinear import bilinear_sample
 from dcf.ops.knn import bin_points_dense
 from dcf.ops.pallas.fusion_kernel import (_plane_geometry,
                                           bin_points_planes,
+                                          bin_points_planes_ranked,
                                           fused_fusion_planes,
                                           fused_fusion_reference,
                                           fusion_windows)
@@ -107,13 +108,20 @@ class ContinuousFusionLayer(nn.Module):
     @nn.compact
     def __call__(self, points: jnp.ndarray, mask: jnp.ndarray,
                  fine_row: jnp.ndarray, velo_to_image: jnp.ndarray,
-                 image_feat: jnp.ndarray) -> jnp.ndarray:
+                 image_feat: jnp.ndarray,
+                 uvz: jnp.ndarray | None = None,
+                 rank: jnp.ndarray | None = None) -> jnp.ndarray:
         """Args:
           points: [B, P, 4] padded lidar points, fine-grid sorted.
           mask: [B, P] validity (sorted order).
           fine_row: [B, P] int32 fine-grid row per point (sorted order).
           velo_to_image: [B, 3, 4] combined projection matrices.
           image_feat: [B, Hf, Wf, C] image features at `image_stride`.
+          uvz: [B, P, 3] HOST-projected (u, v, depth) per point
+            (dcf.data.preprocess.fusion_host_arrays); None -> project
+            on device.
+          rank: [B, P] int32 HOST-computed in-cell rank at this scale
+            (-1 invalid); None -> derive the binning on device.
 
         Returns:
           [B, H, W, out_channels] BEV feature contribution at `bev_stride`.
@@ -142,21 +150,37 @@ class ContinuousFusionLayer(nn.Module):
                           param_dtype=jnp.float32,
                           name="img_proj")(image_feat.astype(dtype))
 
-        def prepare(pts, msk, fr, proj, zmap):
+        if uvz is None:
+            uvz = jax.vmap(lambda pts, proj:
+                           project_velo_to_image(pts[:, :3], proj))(
+                               points, velo_to_image)            # [B, P, 3]
+
+        def prepare(pts, msk, fr, uvz_b, zmap, rank_b):
             # Image features are sampled once per *point* (P rows), not
             # per (pixel, neighbor) pair (H*W*K rows, ~20x more): each
             # point projects to a single image location, so per-pair work
             # reduces to the in-kernel one-hot selection after KNN.
-            uvz = project_velo_to_image(pts[:, :3], proj)       # [P, 3]
-            in_front = uvz[..., 2] > 0.1
             z1p, inside = bilinear_sample(
-                zmap, uvz[..., :2] / float(self.image_stride))  # [P, hid]
-            img_ok = msk & in_front & inside                     # [P]
+                zmap, uvz_b[..., :2] / float(self.image_stride))  # [P, hid]
 
             # bin payload: (x, y, z, sorted index as f32 — exact to 2^24)
             payload = jnp.concatenate(
                 [pts[:, :3],
                  jnp.arange(P, dtype=jnp.float32)[:, None]], axis=-1)
+            if rank_b is not None:
+                # host-precomputed binning (fusion_host_arrays): the
+                # rank scans + cumsum-image gathers never run on device
+                if fus.use_pallas:
+                    binned = bin_points_planes_ranked(
+                        payload, rank_b, origin, cell, (H, W),
+                        fus.bin_capacity, r, fus.pallas_tile_rows)
+                else:
+                    binned = bin_points_dense(payload, rank_b >= 0,
+                                              origin, cell, (H, W),
+                                              fus.bin_capacity)
+                return binned, z1p
+            in_front = uvz_b[..., 2] > 0.1
+            img_ok = msk & in_front & inside                     # [P]
             if fus.use_pallas:
                 # scatter straight into the kernel's plane layout (no
                 # [H, W, C, D] bins + per-scale transpose on the hot
@@ -179,8 +203,16 @@ class ContinuousFusionLayer(nn.Module):
         # first-MLP-layer split: the image half (already applied to the
         # map above) is realized per point by the bilinear sample; the
         # geometric half is applied per pair inside the kernel / twin
-        binned, z1 = jax.vmap(prepare)(points, mask, fine_row,
-                                       velo_to_image, z1_map)
+        if rank is not None:
+            binned, z1 = jax.vmap(
+                lambda pts, msk, fr, u, zmap, rk:
+                prepare(pts, msk, fr, u, zmap, rk))(
+                    points, mask, fine_row, uvz, z1_map, rank)
+        else:
+            binned, z1 = jax.vmap(
+                lambda pts, msk, fr, u, zmap:
+                prepare(pts, msk, fr, u, zmap, None))(
+                    points, mask, fine_row, uvz, z1_map)
 
         wg = self.param("geo_kernel", nn.initializers.lecun_normal(),
                         (4, hid), jnp.float32)

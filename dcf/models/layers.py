@@ -113,18 +113,24 @@ class ConvNorm(nn.Module):
 
 
 class BasicBlock(nn.Module):
-    """ResNet-v1 basic block, NHWC."""
+    """ResNet-v1 basic block, NHWC.
+
+    `entry_kernel` sizes the first conv only: a block consuming a
+    space-to-depth(2) input uses kernel 2 / stride 1 — the same spatial
+    taps as a 3x3/stride-2 conv on the pre-s2d tensor, MXU-friendly
+    channel count (see dcf.data.voxelize.rasterize_bev_s2d)."""
 
     features: int
     stride: int = 1
     dtype: Dtype = jnp.bfloat16
     quant: str = "off"
+    entry_kernel: int = 3
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = ConvNorm(self.features, 3, self.stride, self.dtype,
-                     quant=self.quant)(x)
+        y = ConvNorm(self.features, self.entry_kernel, self.stride,
+                     self.dtype, quant=self.quant)(x)
         y = ConvNorm(self.features, 3, 1, self.dtype, act=None,
                      quant=self.quant)(y)
         if residual.shape[-1] != self.features or self.stride != 1:

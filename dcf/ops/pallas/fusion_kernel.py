@@ -176,6 +176,25 @@ def bin_points_planes(points: jnp.ndarray, mask: jnp.ndarray,
     return _scatter_planes(spoints, ok, rank, six, siy, C, RP, WP, D, P)
 
 
+def bin_points_planes_ranked(points: jnp.ndarray, rank: jnp.ndarray,
+                             origin, cell_size: float, grid_hw,
+                             capacity: int, r: int,
+                             tile_rows: int) -> jnp.ndarray:
+    """`bin_points_planes` with a HOST-precomputed in-cell rank
+    (dcf.data.preprocess.fusion_host_arrays; rank == -1 marks points
+    invalid for this scale). Cell coords are recomputed elementwise with
+    the identical float32 arithmetic (free next to the scatter); the
+    rank scans + cumsum-image gathers never run on device."""
+    H, W = grid_hw
+    P, D = points.shape
+    C = capacity
+    TH, H_eff, TS, WP, RP = _plane_geometry(H, W, r, tile_rows)
+    ix = jnp.floor((points[:, 0] - origin[0]) / cell_size).astype(jnp.int32)
+    iy = jnp.floor((points[:, 1] - origin[1]) / cell_size).astype(jnp.int32)
+    ok = (rank >= 0) & (rank < C)
+    return _scatter_planes(points, ok, rank, ix + r, iy + r, C, RP, WP, D, P)
+
+
 def _scatter_planes(spoints, ok, rank, six, siy, C, RP, WP, D, P):
     """One flat unique-indices scatter of all payload fields + validity
     into the kernel's [D+1, C, RP, WP] plane layout."""

@@ -45,11 +45,10 @@ def image_backbone_flops(cfg: Config) -> int:
     """dcf.models.resnet.ImageBackbone forward FLOPs for one image."""
     bb = cfg.backbone
     h, w = cfg.image.height, cfg.image.width
-    # stem: 7x7 stride-2 conv
-    h, w = h // 2, w // 2
-    total = _conv_flops(h, w, cfg.image.channels, bb.image_stage_channels[0],
-                        7)
-    h, w = h // 2, w // 2                          # 3x3 stride-2 maxpool
+    # patchify stem: s2d(4) + 1x1 ConvNorm == 4x4 stride-4 conv
+    h, w = h // 4, w // 4
+    total = _conv_flops(h, w, 16 * cfg.image.channels,
+                        bb.image_stage_channels[0], 1)
     cin = bb.image_stage_channels[0]
     for stage, cout in enumerate(bb.image_stage_channels):
         first_stride = 1 if stage == 0 else 2
@@ -70,7 +69,14 @@ def bev_backbone_flops(cfg: Config) -> int:
     total = 0
     for stage, cout in enumerate(bb.bev_stage_channels):
         h, w = h // 2, w // 2                      # every stage strides 2
-        total += _basic_block_flops(h, w, cin, cout, 2)
+        if stage == 0:
+            # s2d raster in: kernel-2/stride-1 entry conv on 4*cin
+            # channels + 1x1 projection shortcut (dcf.models.detector)
+            total += (_conv_flops(h, w, 4 * cin, cout, 2)
+                      + _conv_flops(h, w, cout, cout, 3)
+                      + _conv_flops(h, w, 4 * cin, cout, 1))
+        else:
+            total += _basic_block_flops(h, w, cin, cout, 2)
         for _ in range(bb.bev_blocks_per_stage[stage] - 1):
             total += _basic_block_flops(h, w, cout, cout, 1)
         cin = cout

@@ -13,7 +13,7 @@ Mirrored conventions (each the documented behavior of the named module):
   - XLA "SAME" padding: pad_total = (ceil(in/s)-1)*s + k - in, low half
     first (dcf/models/layers.py ConvNorm / flax nn.Conv).
   - flax GroupNorm: contiguous channel groups, eps 1e-6.
-  - nn.max_pool 3x3/2 SAME pads with -inf.
+  - patchify stem: space-to-depth(4) + 1x1 ConvNorm (dcf/models/resnet.py).
   - upsample2x: nearest (dcf/models/layers.py).
   - voxelizer: occupancy per z-slice + mean intensity
     (dcf/data/voxelize.py rasterize_bev).
@@ -100,12 +100,13 @@ def _rasterize_bev(points: np.ndarray, mask: np.ndarray, vox) -> torch.Tensor:
 
 
 def _image_backbone(image: np.ndarray, p: Dict, bb) -> Dict[int, torch.Tensor]:
-    x = torch.as_tensor(image, dtype=DT).permute(2, 0, 1)[None]  # NCHW
-    mean = torch.tensor([0.485, 0.456, 0.406], dtype=DT)[:, None, None]
-    std = torch.tensor([0.229, 0.224, 0.225], dtype=DT)[:, None, None]
-    x = (x - mean) / std
-    x = _conv_norm(x, p["ConvNorm_0"], 2)
-    x = TF.max_pool2d(_same_pad(x, 3, 2, value=-torch.inf), 3, stride=2)
+    # patchify stem: space-to-depth(4) + 1x1 ConvNorm (dcf/models/resnet.py)
+    x = torch.as_tensor(image, dtype=DT)                         # HWC
+    H, W, C = x.shape
+    x = (x.reshape(H // 4, 4, W // 4, 4, C).permute(0, 2, 1, 3, 4)
+         .reshape(H // 4, W // 4, 16 * C))
+    x = x.permute(2, 0, 1)[None]                                 # NCHW
+    x = _conv_norm(x, p["ConvNorm_0"], 1)
     feats = {}
     stride, bi = 4, 0
     for stage in range(len(bb.image_stage_channels)):
@@ -277,7 +278,11 @@ def torch_forward(params, batch: Dict[str, np.ndarray],
     points = np.asarray(batch["points"][0], np.float64)
     mask = np.asarray(batch["point_mask"][0])
 
-    pseudo = _rasterize_bev(points, mask, cfg.voxel)
+    # s2d(2) raster (dcf.data.voxelize.rasterize_bev_s2d layout)
+    pseudo = _rasterize_bev(points, mask, cfg.voxel)  # [gx, gy, C]
+    gx, gy, C = pseudo.shape
+    pseudo = (pseudo.reshape(gx // 2, 2, gy // 2, 2, C)
+              .permute(0, 2, 1, 3, 4).reshape(gx // 2, gy // 2, 4 * C))
     x = pseudo.permute(2, 0, 1)[None]                 # NCHW
 
     img_feats = None
@@ -293,7 +298,9 @@ def torch_forward(params, batch: Dict[str, np.ndarray],
     feats: Dict[int, torch.Tensor] = {}
     stride = 1
     for stage in range(len(bb.bev_stage_channels)):
-        x = _basic_block(x, p[f"bev_stage{stage}_block0"], 2)
+        # stage 0's stride-2 is baked into the s2d raster
+        x = _basic_block(x, p[f"bev_stage{stage}_block0"],
+                         1 if stage == 0 else 2)
         for b in range(bb.bev_blocks_per_stage[stage] - 1):
             x = _basic_block(x, p[f"bev_stage{stage}_block{b + 1}"], 1)
         stride *= 2

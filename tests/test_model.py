@@ -146,6 +146,34 @@ class TestForward:
             np.testing.assert_array_equal(np.asarray(p_on[k]),
                                           np.asarray(p_off[k]), err_msg=k)
 
+    def test_host_binned_ranks_parity(self):
+        """Host-precomputed projection + per-scale bin ranks == the
+        on-device binning, exactly.
+
+        The flagship default (FusionConfig.host_binned_ranks) computes
+        fusion_host_arrays in frame_to_example; stripping those batch
+        keys makes the detector fall back to the on-device path, and
+        the predictions must be bit-identical.
+        """
+        from dcf.data.synthetic import make_varied_frame
+        frame = make_varied_frame(seed=5)
+        cfg = tiny_config(with_fusion=True)
+        assert cfg.fusion.host_binned_ranks
+
+        b_on = {k: jnp.asarray(v) for k, v in stack_examples(
+            [frame_to_example(frame, cfg)]).items()}
+        assert "fusion_rank" in b_on and "points_uvz" in b_on
+        b_off = {k: v for k, v in b_on.items()
+                 if k not in ("fusion_rank", "points_uvz")}
+
+        model = ContFuseDetector(cfg)
+        params = jax.jit(model.init)(jax.random.key(0), b_on)
+        p_on = jax.jit(model.apply)(params, b_on)
+        p_off = jax.jit(model.apply)(params, b_off)
+        for k in p_on:
+            np.testing.assert_array_equal(np.asarray(p_on[k]),
+                                          np.asarray(p_off[k]), err_msg=k)
+
 
 class TestStaticShapes:
     def test_jit_cache_one_entry_per_batch_shape(self, fusion_setup):

@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import torch
 
 from dcf.config import VoxelConfig
-from dcf.data.voxelize import crop_and_pad, rasterize_bev, rasterize_bev_batch
+from dcf.data.voxelize import (crop_and_pad, rasterize_bev,
+                               rasterize_bev_batch, rasterize_bev_s2d)
 
 
 def small_cfg():
@@ -90,6 +91,28 @@ class TestRasterize:
         inten = s / c.clamp(min=1.0)
         want = torch.cat([occ, inten[..., None]], dim=-1).numpy()
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_s2d_matches_reference(self, rng):
+        """rasterize_bev_s2d == space-to-depth(2) of rasterize_bev."""
+        cfg = VoxelConfig(x_min=0, x_max=8, y_min=-4, y_max=4, z_min=-1,
+                          z_max=1, voxel_size=0.5, z_slice_size=0.5,
+                          max_points=256)
+        pts = np.zeros((256, 4), np.float32)
+        pts[:, 0] = rng.uniform(-1, 9, 256)
+        pts[:, 1] = rng.uniform(-5, 5, 256)
+        pts[:, 2] = rng.uniform(-1.5, 1.5, 256)
+        pts[:, 3] = rng.uniform(0, 1, 256)
+        mask = rng.uniform(size=256) < 0.9
+
+        ref = np.asarray(rasterize_bev(jnp.asarray(pts), jnp.asarray(mask),
+                                       cfg))
+        gx, gy, C = ref.shape
+        want = (ref.reshape(gx // 2, 2, gy // 2, 2, C)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(gx // 2, gy // 2, 4 * C))
+        got = np.asarray(rasterize_bev_s2d(jnp.asarray(pts),
+                                           jnp.asarray(mask), cfg))
+        np.testing.assert_allclose(got, want)
 
     def test_batch_matches_single(self, rng):
         cfg = small_cfg()
