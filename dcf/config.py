@@ -249,6 +249,12 @@ class TrainConfig:
     checkpoint_every: int = 1000
     log_every: int = 50
     seed: int = 0
+    # Exponential moving average of params, updated inside the jitted
+    # step (TrainState.ema_params); 0.0 disables. Horizon ~1/(1-d)
+    # steps: 0.999 averages the last ~1k steps, smoothing the LR-endgame
+    # AP noise that made single-checkpoint eval unreliable (BASELINE.md
+    # round-4 schedule row).
+    ema_decay: float = 0.0
     # Target-assigner window, in head-stride cells per side. Coverage is
     # +-(window/2 * grid_cell) around the gt center cell; any anchor
     # whose rotated IoU with a KITTI-sized gt could cross the

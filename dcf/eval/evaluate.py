@@ -30,7 +30,8 @@ def run_eval(cfg: Config, model: ContFuseDetector, params, dataset,
              num_frames: Optional[int] = None,
              num_points: int = 40,
              batch_size: int = 8,
-             metrics: Sequence[str] = ("3d", "bev")) -> Dict[str, float]:
+             metrics: Sequence[str] = ("3d", "bev"),
+             infer_fn=None) -> Dict[str, float]:
     """Evaluate params over a dataset; returns the AP dict.
 
     Frames are processed in device batches of `batch_size` (the last
@@ -41,8 +42,14 @@ def run_eval(cfg: Config, model: ContFuseDetector, params, dataset,
     num_points: 40 = official R40, 11 = legacy R11, 0 = exact
     area-under-PR (use for small synthetic splits, where the devkit's
     41-point recall grid quantizes AP to ~k/41).
+
+    infer_fn: pass `jax.jit(make_inference_fn(cfg, model))` to reuse one
+    compiled executable across repeated run_eval calls (jax.jit caches
+    by function identity, so the default recompiles per call --
+    expensive when evaluating periodically during training).
     """
-    infer = jax.jit(make_inference_fn(cfg, model))
+    infer = (infer_fn if infer_fn is not None
+             else jax.jit(make_inference_fn(cfg, model)))
     pack = {k: jnp.asarray(v) for k, v in anchor_pack(cfg).items()}
     thr = (score_threshold if score_threshold is not None
            else cfg.head.score_threshold)

@@ -58,6 +58,13 @@ from dcf.ops.knn import DenseBins, knn_select_dense
 
 _BIG = 1e30
 _D = 4          # payload fields: x, y, z, gidx
+# Plane layout note: in the KERNEL's field planes, plane 3 carries
+# gidx + 1 with 0 meaning "empty slot" -- validity is folded into the
+# index plane instead of a 5th validity plane, cutting the binning
+# scatter's update count, the plane DMA, and the scr scratch by 20%
+# (the scatter cost tracks updates, not plane size -- BASELINE.md
+# round-4 op budget). DenseBins (the jnp twin's input) still carries
+# the raw gidx; the fold happens in _scatter_planes / build_planes.
 
 
 def _round_up(x: int, m: int) -> int:
@@ -94,17 +101,17 @@ def bin_points_planes(points: jnp.ndarray, mask: jnp.ndarray,
     """Scatter point payloads DIRECTLY into the kernel's plane layout.
 
     Equivalent to `build_planes(bin_points_dense(...))` (parity-tested)
-    without materializing the [H, W, C, D] bins + the [B, D+1, C, H, W]
+    without materializing the [H, W, C, D] bins + the [B, D, C, H, W]
     transpose that XLA copies through HBM per fusion scale: one flat
-    scalar scatter writes every field (and the validity plane) at its
-    final [D+1, C, RP, WP] position.
+    scalar scatter writes every field at its final [D, C, RP, WP]
+    position (plane 3 == gidx + 1, 0 marking empty -- the _D note).
 
     Args:
       points: [P, D] payload rows, first two columns BEV (x, y).
       mask: [P] validity.
 
     Returns:
-      [D+1, C, RP, WP] float32 planes (validity last).
+      [D, C, RP, WP] float32 planes.
     """
     from dcf.ops.knn import _rank_within_runs
     H, W = grid_hw
@@ -196,24 +203,25 @@ def bin_points_planes_ranked(points: jnp.ndarray, rank: jnp.ndarray,
 
 
 def _scatter_planes(spoints, ok, rank, six, siy, C, RP, WP, D, P):
-    """One flat unique-indices scatter of all payload fields + validity
-    into the kernel's [D+1, C, RP, WP] plane layout."""
+    """One flat unique-indices scatter of all payload fields into the
+    kernel's [D, C, RP, WP] plane layout; plane 3 holds gidx + 1 (0 ==
+    empty slot -- see the _D layout note), so no validity plane is
+    scattered: D*P updates instead of (D+1)*P."""
+    assert D == _D, D
     # spatial offset of the point's cell inside one [RP, WP] plane
     spatial = (rank * RP + six) * WP + siy                      # [P]
     plane = C * RP * WP
     iota = jnp.arange(P, dtype=jnp.int32)
-    base = jnp.where(ok, spatial, (D + 1) * plane + iota)       # drop slot
-    vals = jnp.concatenate(
-        [spoints.T.reshape(-1),                                 # [D * P]
-         jnp.ones((P,), spoints.dtype)], axis=0)                # validity
-    idx = jnp.concatenate(
-        [base[None, :] + plane * jnp.arange(D + 1,
-                                            dtype=jnp.int32)[:, None]],
-        axis=0).reshape(-1)                                     # [(D+1)*P]
-    flat = jnp.zeros(((D + 1) * plane,), jnp.float32)
+    base = jnp.where(ok, spatial, D * plane + iota)             # drop slot
+    pay = jnp.concatenate([spoints[:, :3], spoints[:, 3:4] + 1.0], axis=1)
+    vals = pay.T.reshape(-1)                                    # [D * P]
+    idx = (base[None, :]
+           + plane * jnp.arange(D, dtype=jnp.int32)[:, None]
+           ).reshape(-1)                                        # [D * P]
+    flat = jnp.zeros((D * plane,), jnp.float32)
     flat = flat.at[idx].set(vals.astype(jnp.float32), mode="drop",
                             unique_indices=True)
-    return flat.reshape(D + 1, C, RP, WP)
+    return flat.reshape(D, C, RP, WP)
 
 
 def _coarse_rank_presorted(points, mask, origin, cell_size, grid_hw,
@@ -297,14 +305,18 @@ def _coarse_rank_presorted(points, mask, origin, cell_size, grid_hw,
 
 
 def build_planes(bins: DenseBins, r: int, tile_rows: int) -> jnp.ndarray:
-    """[B, H, W, C, D] bins -> [B, D+1, C, RP, WP] field planes (validity
-    last), zero-padded r rows/cols top/left, aligned slack elsewhere."""
+    """[B, H, W, C, D] bins -> [B, D, C, RP, WP] field planes (plane 3 ==
+    (gidx + 1) * valid, 0 marking empty slots -- see the _D layout
+    note), zero-padded r rows/cols top/left, aligned slack elsewhere."""
     B, H, W, C, D = bins.data.shape
+    assert D == _D, D
     TH, H_eff, TS, WP, RP = _plane_geometry(H, W, r, tile_rows)
-    planes = jnp.transpose(bins.data.astype(jnp.float32), (0, 4, 3, 1, 2))
-    planes = jnp.concatenate(
-        [planes, jnp.transpose(bins.valid.astype(jnp.float32),
-                               (0, 3, 1, 2))[:, None]], axis=1)
+    valid = bins.valid.astype(jnp.float32)                    # [B, H, W, C]
+    data = jnp.concatenate(
+        [bins.data[..., :3].astype(jnp.float32),
+         ((bins.data[..., 3].astype(jnp.float32) + 1.0)
+          * valid)[..., None]], axis=-1)
+    planes = jnp.transpose(data, (0, 4, 3, 1, 2))
     return jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (r, RP - H - r),
                             (r, WP - W - r)))
 
@@ -397,19 +409,20 @@ def fusion_windows(fine_row: jnp.ndarray, num_slabs: int, tile_rows: int,
 def _cascade_onepass(scr, cx, cy, *, TH, C, K, r):
     """Classic streaming KNN insertion cascade (knn_kernel.py scheme):
     every candidate runs the full K-deep compare/swap chain over all
-    _D + 1 fields. 2K + K*_D (TH, WP) arrays stay live across the whole
-    candidate loop."""
+    _D fields. 2K + K*_D (TH, WP) arrays stay live across the whole
+    candidate loop. Validity comes from field 3 (gidx + 1 > 0.5 -- the
+    folded layout, see the _D note)."""
     WP = cx.shape[1]
     top_d = [jnp.full((TH, WP), _BIG, jnp.float32) for _ in range(K)]
     top_p = [[jnp.zeros((TH, WP), jnp.float32) for _ in range(_D)]
              for _ in range(K)]
     win = 2 * r + 1
     for c in range(C):
-        fields = [scr[f, c] for f in range(_D + 1)]
+        fields = [scr[f, c] for f in range(_D)]
         for di in range(win):
             for dj in range(win):
                 sh = [_roll2(f, di, dj)[:TH, :] for f in fields]
-                v = sh[_D] > 0.5
+                v = sh[3] > 0.5
                 ddx = sh[0] - cx
                 ddy = sh[1] - cy
                 d = jnp.where(v, ddx * ddx + ddy * ddy, jnp.float32(_BIG))
@@ -462,7 +475,7 @@ def _cascade_twopass(scr, cx, cy, *, TH, C, K, r, SG):
              for _ in range(K)]
     idx = 0
     for c in range(C):
-        fx, fy, fv = scr[0, c], scr[1, c], scr[_D, c]
+        fx, fy, fv = scr[0, c], scr[1, c], scr[3, c]
         for di in range(win):
             for dj in range(win):
                 v = _roll2(fv, di, dj)[:TH, :] > 0.5
@@ -493,11 +506,11 @@ def _cascade_twopass(scr, cx, cy, *, TH, C, K, r, SG):
         cnt = jnp.zeros((TH, WP), jnp.float32)
         idx = 0
         for c in range(C):
-            fields = [scr[f, c] for f in range(_D + 1)]
+            fields = [scr[f, c] for f in range(_D)]
             for di in range(win):
                 for dj in range(win):
                     sh = [_roll2(f, di, dj)[:TH, :] for f in fields]
-                    v = sh[_D] > 0.5
+                    v = sh[3] > 0.5
                     ddx = sh[0] - cx
                     ddy = sh[1] - cy
                     d = jnp.where(v, ddx * ddx + ddy * ddy,
@@ -570,7 +583,8 @@ def _fwd_kernel(starts_ref, rstarts_ref, planes_hbm, z1t_hbm, wsmall_ref,
         roff = rstarts_ref[b, ti * TH + rr]
         roff = pl.multiple_of(roff, 128)
         slab_r = z1scr[:, pl.ds(roff, CAPR)]                  # [HID, CAPR]
-        rbasef = startf + roff.astype(jnp.float32)
+        # plane 3 / the stash carry gidx + 1 (0 == empty); absorb the +1
+        rbasef = startf + roff.astype(jnp.float32) + 1.0
         for k in range(K):
             d_r = top_d[k][rr:rr + 1, :W]
             pairok = d_r < _BIG
@@ -653,7 +667,8 @@ def _bwd_kernel(starts_ref, rstarts_ref, z1t_hbm, wsmall_ref, dacc_ref,
         roff = rstarts_ref[b, ti * TH + rr]
         roff = pl.multiple_of(roff, 128)
         slab_r = z1scr[:, pl.ds(roff, CAPR)]                  # [HID, CAPR]
-        rbasef = startf + roff.astype(jnp.float32)
+        # plane 3 / the stash carry gidx + 1 (0 == empty); absorb the +1
+        rbasef = startf + roff.astype(jnp.float32) + 1.0
         drow = jnp.zeros((HID, CAPR), jnp.float32)
         for k in range(K):
             base = 5 * k
@@ -740,7 +755,7 @@ def _fwd_impl(planes, z1t, starts, rstarts, wgt, bg, origin, cell_size, k,
         out_specs=pl.BlockSpec((1, OC, TH, W),
                                lambda b, i, *_: (b, 0, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((_D + 1, C, TS, WP), jnp.float32),
+            pltpu.VMEM((_D, C, TS, WP), jnp.float32),
             pltpu.VMEM((HID, capz), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -859,7 +874,7 @@ def _fused_fusion_bwd(origin, cell_size, k, radius_cells, tile_rows, capz,
         cell_size, k, radius_cells, tile_rows, capz, capr, H, W,
         interpret)
     _, _, _, WP, RP = _plane_geometry(H, W, radius_cells, tile_rows)
-    return (jnp.zeros((stash.shape[0], _D + 1, plane_capacity, RP, WP),
+    return (jnp.zeros((stash.shape[0], _D, plane_capacity, RP, WP),
                       jnp.float32),
             dz1t,
             np.zeros(starts.shape, jax.dtypes.float0),
@@ -921,7 +936,7 @@ def fused_fusion_planes(planes: jnp.ndarray, z1t: jnp.ndarray,
                         cascade: str = "onepass", slot_group: int = 2,
                         rstarts: jnp.ndarray | None = None,
                         capr: int | None = None) -> jnp.ndarray:
-    """`fused_fusion` on pre-built [B, D+1, C, RP, WP] planes (see
+    """`fused_fusion` on pre-built [B, D, C, RP, WP] planes (see
     `bin_points_planes` -- skips the bins transpose on the hot path).
 
     z1t here is FEATURE-major [B, hid, P_pad] -- the kernel's internal

@@ -58,10 +58,24 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
-    """Restore into a state template (from create_train_state)."""
+    """Restore into a state template (from create_train_state).
+
+    Checkpoints written before TrainState grew `ema_params` lack that
+    key; restoring one into an EMA-enabled template seeds the EMA from
+    the restored params (the only meaningful resume semantics for a run
+    that just turned EMA on)."""
     tmpl = template._replace(rng=jax.random.key_data(template.rng))
     with open(path, "rb") as f:
-        state = serialization.from_bytes(tmpl, f.read())
+        payload = f.read()
+    sd = serialization.msgpack_restore(payload)
+    if template.ema_params is None:
+        # flax demands exact field-name parity on restore; normalize the
+        # state dict to the template's shape (drop a saved EMA when
+        # restoring with EMA off, inject None for pre-EMA files)
+        sd["ema_params"] = None
+    elif sd.get("ema_params") is None:
+        sd["ema_params"] = jax.tree.map(lambda x: x, sd["params"])
+    state = serialization.from_state_dict(tmpl, sd)
     return state._replace(
         rng=jax.random.wrap_key_data(jnp.asarray(state.rng)))
 

@@ -54,7 +54,8 @@ def train(cfg: Config, dataset, workdir: str,
           gt_db=None, resume: bool = False,
           num_steps: Optional[int] = None,
           num_data_shards: Optional[int] = None,
-          debug: bool = False) -> TrainState:
+          debug: bool = False,
+          eval_hook=None, eval_every: int = 0) -> TrainState:
     """Run (or resume) a training job. Returns the final state.
 
     Multi-host: call `dcf.parallel.mesh.initialize_distributed` first;
@@ -63,7 +64,12 @@ def train(cfg: Config, dataset, workdir: str,
     and only process 0 writes checkpoints/logs.
 
     debug=True runs the step under checkify (NaN/OOB/div checks raise on
-    the host with source locations) -- slower, for debugging only."""
+    the host with source locations) -- slower, for debugging only.
+
+    eval_hook(host_state, step) is called every `eval_every` steps (and
+    at the final step) on process 0 with the device_get TrainState --
+    for periodic validation / best-checkpoint selection (see
+    scripts/generalization.py --eval-every)."""
     is_main = jax.process_index() == 0
     if jax.process_count() > 1:
         dataset = _ProcessShard(dataset, jax.process_index(),
@@ -139,4 +145,8 @@ def train(cfg: Config, dataset, workdir: str,
                 or step == total) and is_main:
             path = ckpt.save_checkpoint(ckpt_dir, jax.device_get(state), cfg)
             print(f"saved {path}")
+        if (eval_hook is not None and eval_every
+                and (step % eval_every == 0 or step == total)
+                and is_main):
+            eval_hook(jax.device_get(state), step)
     return state

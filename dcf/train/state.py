@@ -21,6 +21,9 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     rng: jnp.ndarray
+    # Exponential moving average of params (TrainConfig.ema_decay > 0),
+    # updated inside the jitted step; None when EMA is disabled.
+    ema_params: Any = None
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -39,6 +42,8 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 def create_train_state(cfg: Config, params: Any, seed: int = 0) -> TrainState:
     tx = make_optimizer(cfg)
+    ema = (jax.tree.map(jnp.array, params)
+           if cfg.train.ema_decay > 0 else None)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params),
-                      rng=jax.random.key(seed))
+                      rng=jax.random.key(seed), ema_params=ema)

@@ -128,6 +128,16 @@ def make_train_step(cfg: Config, model: ContFuseDetector
     loss_fn = build_loss_fn(cfg, model)
     tx = make_optimizer(cfg)
     accum = cfg.train.accum_steps
+    ema_decay = cfg.train.ema_decay
+
+    def ema_update(ema, params):
+        """EMA of params inside the jitted step (None passes through:
+        the pytree structure is static, so the branch is trace-time)."""
+        if ema is None or ema_decay <= 0:
+            return ema
+        d = jnp.float32(ema_decay)
+        return jax.tree.map(lambda e, p: e * d + p.astype(e.dtype) * (1 - d),
+                            ema, params)
 
     def train_step(state: TrainState, batch: Dict,
                    pack: Dict) -> Tuple[TrainState, Dict]:
@@ -137,7 +147,9 @@ def make_train_step(cfg: Config, model: ContFuseDetector
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax_global_norm(grads)
         new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state, rng=state.rng)
+                               opt_state=opt_state, rng=state.rng,
+                               ema_params=ema_update(state.ema_params,
+                                                     params))
         return new_state, metrics
 
     if accum == 1:
@@ -178,7 +190,9 @@ def make_train_step(cfg: Config, model: ContFuseDetector
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax_global_norm(grads)
         new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state, rng=state.rng)
+                               opt_state=opt_state, rng=state.rng,
+                               ema_params=ema_update(state.ema_params,
+                                                     params))
         return new_state, metrics
 
     return train_step_accum

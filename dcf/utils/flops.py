@@ -181,15 +181,16 @@ def mfu(flops_per_item: float, items_per_sec: float,
     return achieved / 1e12, achieved / peak
 
 
-def inference_bytes_per_frame(cfg: Config) -> int:
-    """Coarse HBM traffic estimate for one inference frame (roofline
-    memory side). Convention: every ConvNorm reads its input and writes
-    its output once in bf16, and the (unfused-at-B>1) GroupNorm re-reads
-    and re-writes its output; residual adds re-read one operand. Gathers,
-    scatters, sorts and kernel-internal DMA count their touched tables
-    once. This is a lower bound on real traffic (XLA materializes some
-    extra copies) -- good for order-of-magnitude roofline arguments, not
-    for byte-exact accounting.
+def inference_bytes_breakdown(cfg: Config) -> Dict[str, int]:
+    """Coarse HBM traffic estimate for one inference frame, per named
+    contributor (roofline memory side; VERDICT r3 item 3). Convention:
+    every ConvNorm reads its input and writes its output once in bf16,
+    and the (unfused-at-B>1) GroupNorm re-reads and re-writes its
+    output; residual adds re-read one operand. Gathers, scatters, sorts
+    and kernel-internal DMA count their touched tables once. This is a
+    lower bound on real traffic (XLA materializes some extra copies) --
+    good for order-of-magnitude roofline arguments, not for byte-exact
+    accounting.
     """
     BPE = 2  # bf16
 
@@ -198,7 +199,8 @@ def inference_bytes_per_frame(cfg: Config) -> int:
         gn = 2 * (h * w * cout) * BPE * 2
         return conv + gn
 
-    def block(h, w, cin, cout, stride):
+    def block(h, w, cin, cout, stride, entry_kernel=3):
+        del entry_kernel  # bytes don't depend on kernel size
         b = convnorm(h * stride, w * stride, cin, cout)  # conv1 reads at in-res
         b += convnorm(h, w, cout, cout)
         if cin != cout or stride != 1:
@@ -207,34 +209,47 @@ def inference_bytes_per_frame(cfg: Config) -> int:
         return b
 
     bb = cfg.backbone
-    total = 0
-    # BEV backbone
+    out: Dict[str, int] = {}
+    # BEV backbone (pseudo-image arrives in s2d(2) layout, bf16)
     h, w = cfg.voxel.grid_x, cfg.voxel.grid_y
-    total += h * w * cfg.voxel.bev_channels * 4          # pseudo-image write
+    out["raster_write"] = h * w * cfg.voxel.bev_channels * BPE
+    bev = 0
     cin = cfg.voxel.bev_channels
     for stage, cout in enumerate(bb.bev_stage_channels):
         h, w = h // 2, w // 2
-        total += block(h, w, cin, cout, 2)
+        if stage == 0:
+            # s2d input: stride-1 block on 4*cin channels at h, w
+            bev += block(h, w, 4 * cin, cout, 1) + convnorm(h, w, 4 * cin,
+                                                            cout)
+        else:
+            bev += block(h, w, cin, cout, 2)
         for _ in range(bb.bev_blocks_per_stage[stage] - 1):
-            total += block(h, w, cout, cout, 1)
+            bev += block(h, w, cout, cout, 1)
         cin = cout
-    # image backbone
+    out["bev_backbone"] = bev
+    # image backbone: f32 image read + host-s2d'able reshape copy +
+    # patchify 1x1 ConvNorm at stride 4
     if cfg.with_camera:
-        h, w = cfg.image.height // 2, cfg.image.width // 2
-        total += convnorm(h, w, cfg.image.channels,
-                          bb.image_stage_channels[0])
-        h, w = h // 2, w // 2
+        hi, wi = cfg.image.height, cfg.image.width
+        img = hi * wi * cfg.image.channels * 4           # input read (f32)
+        img += hi * wi * cfg.image.channels * BPE        # s2d relayout copy
+        h, w = hi // 4, wi // 4
+        img += convnorm(h, w, 16 * cfg.image.channels,
+                        bb.image_stage_channels[0])
         cin = bb.image_stage_channels[0]
         for stage, cout in enumerate(bb.image_stage_channels):
             if stage > 0:
                 h, w = h // 2, w // 2
-            total += block(h, w, cin, cout, 1 if stage == 0 else 2)
+            img += block(h, w, cin, cout, 1 if stage == 0 else 2)
             for _ in range(bb.image_blocks_per_stage[stage] - 1):
-                total += block(h, w, cout, cout, 1)
+                img += block(h, w, cout, cout, 1)
             cin = cout
+        out["image_backbone"] = img
     # fusion: bilinear patch gather (4C rows) + z1 table + plane tables
+    # (4 planes: validity folds into gidx + 1 -- fusion_kernel._D note)
     if cfg.with_fusion:
         P = cfg.voxel.max_points
+        fus = 0
         for s in bb.fusion_strides:
             from dcf.models.fusion import image_stride_for
             c_img = bb.image_stage_channels[
@@ -243,17 +258,24 @@ def inference_bytes_per_frame(cfg: Config) -> int:
             W = cfg.voxel.grid_y // s
             hid = cfg.fusion.hidden_dim
             cap = cfg.fusion.bin_capacity
-            total += P * 4 * c_img * BPE                 # patch rows
-            total += 2 * P * hid * BPE                   # z1 write+read
-            total += H * W * cap * 5 * 4                 # planes
-            total += 2 * H * W * (hid + 1) * 4           # acc out + read
+            fus += P * 4 * c_img * BPE                   # patch rows
+            fus += 2 * P * hid * BPE                     # z1 write+read
+            fus += H * W * cap * 4 * 4                   # planes (4 fields)
+            fus += 2 * H * W * (hid + 1) * 4             # acc out + read
+        out["fusion"] = fus
     # FPN + head at head stride
     hh = cfg.voxel.grid_x // bb.head_stride
     ww = cfg.voxel.grid_y // bb.head_stride
-    total += 4 * hh * ww * bb.fpn_channels * BPE
-    total += cfg.head.num_convs * convnorm(hh, ww, bb.fpn_channels,
-                                           cfg.head.head_channels)
-    total += hh * ww * cfg.anchors_per_loc * 10 * 4      # head maps fp32
+    head = 4 * hh * ww * bb.fpn_channels * BPE
+    head += cfg.head.num_convs * convnorm(hh, ww, bb.fpn_channels,
+                                          cfg.head.head_channels)
+    head += hh * ww * cfg.anchors_per_loc * 10 * 4       # head maps fp32
+    out["fpn_head"] = head
     # voxel sort/scatter: points sorted + scattered
-    total += 6 * cfg.voxel.max_points * 4 * 4
-    return total
+    out["point_io"] = 6 * cfg.voxel.max_points * 4 * 4
+    return out
+
+
+def inference_bytes_per_frame(cfg: Config) -> int:
+    """Sum of `inference_bytes_breakdown` (see its conventions)."""
+    return sum(inference_bytes_breakdown(cfg).values())

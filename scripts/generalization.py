@@ -52,6 +52,17 @@ def main():
                    help="additionally evaluate the trained checkpoint "
                         "through the int8 PTQ serving path (dcf.quant) "
                         "-- the AP ship-gate for quant_mode='int8'")
+    p.add_argument("--ema", type=float, default=0.0,
+                   help="params-EMA decay (TrainConfig.ema_decay); "
+                        "0 disables")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="evaluate raw+EMA params on a PROBE split "
+                        "(seeds 3000+, disjoint from train AND val) "
+                        "every N steps; the best probe checkpoint "
+                        "(max over steps of the min per-class exact "
+                        "moderate AP) is additionally evaluated on val. "
+                        "Curve written to workdir/eval_curve.json")
+    p.add_argument("--probe-frames", type=int, default=8)
     args = p.parse_args()
 
     from dataclasses import replace
@@ -75,7 +86,8 @@ def main():
     cfg = replace(cfg, train=replace(
         cfg.train, batch_size=args.batch, num_steps=args.steps,
         learning_rate=args.lr, warmup_steps=min(150, args.steps // 10),
-        checkpoint_every=args.steps, log_every=50))
+        checkpoint_every=args.steps, log_every=50,
+        ema_decay=args.ema))
     if args.dir_weight is not None:
         cfg = replace(cfg, loss=replace(cfg.loss,
                                         dir_weight=args.dir_weight))
@@ -95,16 +107,62 @@ def main():
         print("gt-db sizes:",
               {k: len(v) for k, v in gt_db.db.items()}, flush=True)
 
-    state = train(cfg, train_ds, args.workdir, gt_db=gt_db)
-    model = ContFuseDetector(cfg)
     import jax
+    from dcf.eval.inference import make_inference_fn
+    model = ContFuseDetector(cfg)
+    CLS = ("Car", "Pedestrian", "Cyclist")
+    # ONE jitted inference fn for every eval below: jax.jit caches by
+    # function identity, so per-call jits would recompile (~2 min on
+    # TPU) for each of the probe/final/EMA/best evaluations
+    infer = jax.jit(make_inference_fn(cfg, model))
+
+    eval_hook = None
+    curve = []
+    best = {"score": -1.0, "params": None, "step": None, "kind": None}
+    if args.eval_every:
+        probe_ds = VariedDataset(range(3000, 3000 + args.probe_frames))
+
+        def eval_hook(host_state, step):
+            cands = [("raw", host_state.params)]
+            if host_state.ema_params is not None:
+                cands.append(("ema", host_state.ema_params))
+            row = {"step": step}
+            for kind, pr in cands:
+                r = run_eval(cfg, model, pr, probe_ds, num_points=0,
+                             metrics=("3d",), infer_fn=infer)
+                aps = {c: round(r[f"{c}_3d_moderate"], 4) for c in CLS}
+                row[kind] = aps
+                score = min(aps.values())
+                if score > best["score"]:
+                    best.update(score=score, params=pr, step=step,
+                                kind=kind)
+            curve.append(row)
+            print("probe-eval", json.dumps(row), flush=True)
+
+    state = train(cfg, train_ds, args.workdir, gt_db=gt_db,
+                  eval_hook=eval_hook, eval_every=args.eval_every)
     params = jax.device_get(state.params)
 
     results = {}
     for npts, tag in ((40, "R40"), (0, "exact")):
-        r = run_eval(cfg, model, params, val_ds, num_points=npts)
+        r = run_eval(cfg, model, params, val_ds, num_points=npts,
+                     infer_fn=infer)
         results.update({f"{k}_{tag}": round(v, 4) for k, v in r.items()
                         if "moderate" in k or "easy" in k})
+    if state.ema_params is not None:
+        r = run_eval(cfg, model, jax.device_get(state.ema_params), val_ds,
+                     num_points=0, metrics=("3d",), infer_fn=infer)
+        results.update({f"{k}_ema_exact": round(v, 4) for k, v in r.items()
+                        if "moderate" in k})
+    if best["params"] is not None:
+        r = run_eval(cfg, model, best["params"], val_ds, num_points=0,
+                     metrics=("3d",), infer_fn=infer)
+        results.update({f"{k}_best_exact": round(v, 4)
+                        for k, v in r.items() if "moderate" in k})
+        results["best_step"] = best["step"]
+        results["best_kind"] = best["kind"]
+        with open(os.path.join(args.workdir, "eval_curve.json"), "w") as f:
+            json.dump(curve, f, indent=2)
 
     if args.int8_eval:
         import jax.numpy as jnp

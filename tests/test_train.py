@@ -75,6 +75,50 @@ class TestCheckpoint:
         cfg2 = ckpt.load_config(str(tmp_path))
         assert cfg2 == cfg
 
+    def test_ema_tracks_params_and_roundtrips(self, setup, tmp_path):
+        """TrainConfig.ema_decay: the EMA follows the recurrence inside
+        the jitted step, and checkpoints round-trip in all four
+        (saved-with, restored-with) x (EMA on, off) combinations."""
+        import dataclasses
+        cfg, model, batch, state, pack, _ = setup
+        cfg_e = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, ema_decay=0.9))
+        s = create_train_state(cfg_e, state.params)
+        assert s.ema_params is not None
+        step_e = jax.jit(make_train_step(cfg_e, model))
+        want = jax.device_get(s.params)
+        for _ in range(3):
+            s, _m = step_e(s, batch, pack)
+            want = jax.tree.map(
+                lambda e, p: e * 0.9 + np.asarray(p, e.dtype) * 0.1,
+                want, jax.device_get(s.params))
+        got = jax.device_get(s.ema_params)
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+        # EMA ckpt -> EMA template
+        path = ckpt.save_checkpoint(str(tmp_path), jax.device_get(s),
+                                    cfg_e)
+        tmpl = create_train_state(
+            cfg_e, jax.tree.map(jnp.zeros_like, s.params))
+        r = ckpt.restore_checkpoint(path, tmpl)
+        for a, b in zip(jax.tree.leaves(jax.device_get(r.ema_params)),
+                        jax.tree.leaves(got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # EMA ckpt -> no-EMA template (EMA dropped)
+        r2 = ckpt.restore_checkpoint(
+            path, create_train_state(cfg, state.params))
+        assert r2.ema_params is None
+        # no-EMA ckpt -> EMA template (EMA seeded from params)
+        path3 = ckpt.save_checkpoint(
+            str(tmp_path / "legacy"),
+            jax.device_get(create_train_state(cfg, state.params)), cfg)
+        r3 = ckpt.restore_checkpoint(path3, tmpl)
+        for a, b in zip(jax.tree.leaves(r3.ema_params),
+                        jax.tree.leaves(r3.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_latest_and_prune(self, setup, tmp_path):
         cfg, model, batch, state, pack, step = setup
         host = jax.device_get(state)
