@@ -99,6 +99,11 @@ class ImageConfig:
     height: int = 384   # KITTI images (~375 x 1242) are padded to this
     width: int = 1248
     channels: int = 3
+    # Space-to-depth(4) the image on the HOST (prefetch pool): the
+    # patchify stem's in-graph reshape + transpose materialized 0.38 ms
+    # of HBM copies per frame at B=1 on v5e. The backbone accepts both
+    # layouts, so hand-built [H, W, 3] batches keep working.
+    host_s2d: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -241,6 +246,15 @@ class TrainConfig:
     # micro-batches (lax.scan) -- bounds activation memory while keeping
     # EXACT full-batch gradients (see dcf.train.step.make_train_step)
     accum_steps: int = 1
+    # Largest per-device micro-batch the train loop will compile without
+    # accumulation (0 = no cap). The fusion backward kernel at the
+    # coarsest scale exceeds the v5e's 16 MB scoped-VMEM limit when the
+    # step compiles at B=8 (measured: 16.64 MB, "fusion_s16" scoped OOM)
+    # while B=2 compiles fine, so single-shard training at the default
+    # batch 8 auto-raises accum_steps to keep micro-batches at this size
+    # (dcf.train.loop.train; exact full-batch gradients either way).
+    # Multi-shard DP already reduces the per-device batch by itself.
+    micro_batch_max: int = 2
     num_steps: int = 18560        # ~40 epochs of 3712 frames at batch 8
     learning_rate: float = 2e-3
     weight_decay: float = 1e-4

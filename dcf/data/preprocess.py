@@ -121,6 +121,16 @@ def fusion_host_arrays(points: np.ndarray, mask: np.ndarray,
     return {"points_uvz": uvz, "fusion_rank": ranks}
 
 
+def s2d_image(image: np.ndarray) -> np.ndarray:
+    """Space-to-depth(4): [H, W, C] -> [H/4, W/4, 16*C], matching the
+    ImageBackbone patchify stem's in-graph layout exactly (channel
+    (a*4 + b)*C + c == image[4i+a, 4j+b, c])."""
+    H, W, C = image.shape
+    assert H % 4 == 0 and W % 4 == 0, (H, W)
+    return (image.reshape(H // 4, 4, W // 4, 4, C)
+            .transpose(0, 2, 1, 3, 4).reshape(H // 4, W // 4, 16 * C))
+
+
 def frame_to_example(frame: Frame, cfg: Config, seed: int = 0
                      ) -> Dict[str, np.ndarray]:
     """Build the static-shape example dict consumed by the jitted model."""
@@ -128,6 +138,8 @@ def frame_to_example(frame: Frame, cfg: Config, seed: int = 0
     if cfg.with_fusion and cfg.fusion.host_sorted_points:
         points, mask = sort_points_host(points, mask, cfg)
     image, scale = prepare_image(frame.image, cfg)
+    if cfg.with_camera and cfg.image.host_s2d:
+        image = s2d_image(image)
     v2i = frame.calib.velo_to_image_matrix.copy()
     v2i[:2] *= scale                     # resize folded into projection
 

@@ -24,7 +24,9 @@ class ImageBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> Dict[int, jnp.ndarray]:
-        """image: [B, H, W, 3] float32 in [0, 1], H and W multiples of 4."""
+        """image: [B, H, W, 3] float32 in [0, 1] (H, W multiples of 4),
+        OR already space-to-depth(4)'d [B, H/4, W/4, 48] (the host
+        prefetch path, `dcf.data.preprocess.s2d_image`)."""
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         x = image.astype(dtype)
@@ -36,11 +38,18 @@ class ImageBackbone(nn.Module):
         # matmul. The ImageNet mean/std normalize is dropped: training is
         # from scratch and GroupNorm follows immediately, so the input
         # affine was redundant (and its div materialized a 0.47 ms copy).
+        # The s2d itself is done on the HOST by default
+        # (ImageConfig.host_s2d: the in-graph reshape + transpose
+        # materialized 0.38 ms of copies at B=1 on v5e); the raw-layout
+        # branch below keeps hand-built [B, H, W, 3] batches working.
         B, H, W, C = x.shape
-        assert H % 4 == 0 and W % 4 == 0, (H, W)
-        x = x.reshape(B, H // 4, 4, W // 4, 4, C)
-        x = x.transpose((0, 1, 3, 2, 4, 5)).reshape(B, H // 4, W // 4,
-                                                    16 * C)
+        if C == 3:
+            assert H % 4 == 0 and W % 4 == 0, (H, W)
+            x = x.reshape(B, H // 4, 4, W // 4, 4, C)
+            x = x.transpose((0, 1, 3, 2, 4, 5)).reshape(B, H // 4, W // 4,
+                                                        16 * C)
+        else:
+            assert C == 48, C
         x = ConvNorm(cfg.image_stage_channels[0], 1, 1, dtype,
                      quant=cfg.quant_mode)(x)
 

@@ -50,6 +50,33 @@ class _ProcessShard:
                             % len(self.dataset)]
 
 
+def auto_accum(cfg: Config, num_data_shards: int,
+               verbose: bool = False) -> Config:
+    """Cap the compiled micro-batch for single-device steps.
+
+    The coarsest fusion backward kernel exceeds the v5e's 16 MB
+    scoped-VMEM limit when the train step compiles at B=8 (B=2 is fine),
+    so a single-shard step at batch > TrainConfig.micro_batch_max
+    auto-raises accum_steps to keep micro-batches at that size --
+    gradients stay exact full-batch (dcf.train.step.make_train_step).
+    Multi-shard DP already reduces the per-device batch by itself, and
+    an explicit accum_steps > 1 is respected as-is.
+    """
+    t = cfg.train
+    if (num_data_shards == 1 and t.micro_batch_max
+            and t.accum_steps == 1
+            and t.batch_size > t.micro_batch_max
+            and t.batch_size % t.micro_batch_max == 0):
+        import dataclasses
+        accum = t.batch_size // t.micro_batch_max
+        if verbose:
+            print(f"single-shard batch {t.batch_size}: accumulating "
+                  f"{accum} micro-batches of {t.micro_batch_max}")
+        return dataclasses.replace(
+            cfg, train=dataclasses.replace(t, accum_steps=accum))
+    return cfg
+
+
 def train(cfg: Config, dataset, workdir: str,
           gt_db=None, resume: bool = False,
           num_steps: Optional[int] = None,
@@ -85,6 +112,7 @@ def train(cfg: Config, dataset, workdir: str,
             f"global batch {cfg.train.batch_size * jax.process_count()} "
             f"not divisible by --data-shards {num_data_shards}")
     mesh = pmesh.make_mesh(num_data=num_data_shards)
+    cfg = auto_accum(cfg, num_data_shards, verbose=is_main)
     model = ContFuseDetector(cfg)
     loader = Loader(dataset, cfg, training=True, gt_db=gt_db,
                     seed=cfg.train.seed + jax.process_index())

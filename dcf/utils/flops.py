@@ -227,12 +227,13 @@ def inference_bytes_breakdown(cfg: Config) -> Dict[str, int]:
             bev += block(h, w, cout, cout, 1)
         cin = cout
     out["bev_backbone"] = bev
-    # image backbone: f32 image read + host-s2d'able reshape copy +
-    # patchify 1x1 ConvNorm at stride 4
+    # image backbone: f32 image read (+ in-graph s2d relayout copy when
+    # the host didn't pre-s2d) + patchify 1x1 ConvNorm at stride 4
     if cfg.with_camera:
         hi, wi = cfg.image.height, cfg.image.width
         img = hi * wi * cfg.image.channels * 4           # input read (f32)
-        img += hi * wi * cfg.image.channels * BPE        # s2d relayout copy
+        if not cfg.image.host_s2d:
+            img += hi * wi * cfg.image.channels * BPE    # s2d relayout copy
         h, w = hi // 4, wi // 4
         img += convnorm(h, w, 16 * cfg.image.channels,
                         bb.image_stage_channels[0])

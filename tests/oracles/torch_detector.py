@@ -100,11 +100,13 @@ def _rasterize_bev(points: np.ndarray, mask: np.ndarray, vox) -> torch.Tensor:
 
 
 def _image_backbone(image: np.ndarray, p: Dict, bb) -> Dict[int, torch.Tensor]:
-    # patchify stem: space-to-depth(4) + 1x1 ConvNorm (dcf/models/resnet.py)
+    # patchify stem: space-to-depth(4) + 1x1 ConvNorm (dcf/models/resnet.py);
+    # the batch image may arrive already s2d'd (ImageConfig.host_s2d)
     x = torch.as_tensor(image, dtype=DT)                         # HWC
     H, W, C = x.shape
-    x = (x.reshape(H // 4, 4, W // 4, 4, C).permute(0, 2, 1, 3, 4)
-         .reshape(H // 4, W // 4, 16 * C))
+    if C == 3:
+        x = (x.reshape(H // 4, 4, W // 4, 4, C).permute(0, 2, 1, 3, 4)
+             .reshape(H // 4, W // 4, 16 * C))
     x = x.permute(2, 0, 1)[None]                                 # NCHW
     x = _conv_norm(x, p["ConvNorm_0"], 1)
     feats = {}

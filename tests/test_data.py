@@ -209,8 +209,10 @@ class TestLoader:
         assert len(batches) == 2
         for b in batches:
             assert b["points"].shape == (2, cfg.voxel.max_points, 4)
-            assert b["image"].shape == (2, cfg.image.height,
-                                        cfg.image.width, 3)
+            ishape = ((2, cfg.image.height // 4, cfg.image.width // 4, 48)
+                      if cfg.with_camera and cfg.image.host_s2d
+                      else (2, cfg.image.height, cfg.image.width, 3))
+            assert b["image"].shape == ishape
             assert b["gt_boxes"].shape == (2, cfg.augment.max_boxes, 7)
 
     def test_shuffling_differs_across_epochs(self):

@@ -146,6 +146,36 @@ class TestForward:
             np.testing.assert_array_equal(np.asarray(p_on[k]),
                                           np.asarray(p_off[k]), err_msg=k)
 
+    def test_host_s2d_image_parity(self):
+        """Host space-to-depth'd image batches (ImageConfig.host_s2d,
+        the production path) == raw [H, W, 3] batches, bit-identical:
+        the backbone's in-graph s2d branch and dcf.data.preprocess
+        .s2d_image implement the same layout."""
+        from dcf.data.preprocess import s2d_image
+        from dcf.data.synthetic import make_varied_frame
+        frame = make_varied_frame(seed=7)
+        cfg = tiny_config(with_fusion=True)
+        assert cfg.image.host_s2d
+
+        b_s2d = {k: jnp.asarray(v) for k, v in stack_examples(
+            [frame_to_example(frame, cfg)]).items()}
+        assert b_s2d["image"].shape[-1] == 48
+        img = np.asarray(b_s2d["image"][0])
+        H4, W4, _ = img.shape
+        raw = (img.reshape(H4, W4, 4, 4, 3).transpose(0, 2, 1, 3, 4)
+               .reshape(H4 * 4, W4 * 4, 3))
+        np.testing.assert_array_equal(s2d_image(raw), img)  # layout inverse
+        b_raw = dict(b_s2d)
+        b_raw["image"] = jnp.asarray(raw[None])
+
+        model = ContFuseDetector(cfg)
+        params = jax.jit(model.init)(jax.random.key(0), b_s2d)
+        p_a = jax.jit(model.apply)(params, b_s2d)
+        p_b = jax.jit(model.apply)(params, b_raw)
+        for k in p_a:
+            np.testing.assert_array_equal(np.asarray(p_a[k]),
+                                          np.asarray(p_b[k]), err_msg=k)
+
     def test_host_binned_ranks_parity(self):
         """Host-precomputed projection + per-scale bin ranks == the
         on-device binning, exactly.

@@ -321,6 +321,40 @@ class TestSlabOverflow:
             dstep(state, batchm, packm)
 
 
+class TestAutoAccum:
+    """dcf.train.loop.auto_accum: single-shard batches above
+    micro_batch_max accumulate; everything else passes through."""
+
+    def test_policy(self):
+        import dataclasses
+        from dcf.train.loop import auto_accum
+        cfg = tiny_config()
+
+        def with_train(**kw):
+            return dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, **kw))
+
+        # batch 8, micro cap 2, one shard -> accum 4
+        c = auto_accum(with_train(batch_size=8, micro_batch_max=2), 1)
+        assert c.train.accum_steps == 4
+        # multi-shard DP: untouched
+        c = auto_accum(with_train(batch_size=8, micro_batch_max=2), 4)
+        assert c.train.accum_steps == 1
+        # batch already <= cap: untouched
+        c = auto_accum(with_train(batch_size=2, micro_batch_max=2), 1)
+        assert c.train.accum_steps == 1
+        # explicit accum respected
+        c = auto_accum(with_train(batch_size=8, micro_batch_max=2,
+                                  accum_steps=2), 1)
+        assert c.train.accum_steps == 2
+        # cap disabled
+        c = auto_accum(with_train(batch_size=8, micro_batch_max=0), 1)
+        assert c.train.accum_steps == 1
+        # non-divisible: untouched (step asserts divisibility elsewhere)
+        c = auto_accum(with_train(batch_size=6, micro_batch_max=4), 1)
+        assert c.train.accum_steps == 1
+
+
 class TestGradientAccumulation:
     def test_accum_matches_full_batch(self):
         """accum_steps=2 must produce the same update as the full batch:
