@@ -31,15 +31,24 @@ REPS = 4   # selection loops per program, to swamp launch overhead
 
 
 def _kernel(slab_ref, oh_ref, out_ref, *, in_dtype, acc_dtype):
+    # every (rep, rr, k) product must differ or the compiler CSEs the
+    # matmuls away (first version measured an impossible 1500 TF/s):
+    # scale the slab by a distinct scalar per iteration (one cheap VPU
+    # broadcast next to each MXU matmul)
     acc = jnp.zeros((HID, W), jnp.float32)
+    i = 1
     for _ in range(REPS):
         for rr in range(TH):
             for k in range(K):
+                s = (slab_ref[...].astype(jnp.int32) * i
+                     if in_dtype == jnp.int8
+                     else slab_ref[...] * jnp.asarray(i, in_dtype))
                 z1sel = jax.lax.dot_general(
-                    slab_ref[...], oh_ref[k],
+                    s.astype(in_dtype), oh_ref[k],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=acc_dtype)
                 acc = acc + z1sel.astype(jnp.float32)
+                i += 1
     out_ref[...] = acc
 
 
