@@ -163,7 +163,10 @@ class ContinuousFusionLayer(nn.Module):
             z1p, inside = bilinear_sample(
                 zmap, uvz_b[..., :2] / float(self.image_stride))  # [P, hid]
 
-            # bin payload: (x, y, z, sorted index as f32 — exact to 2^24)
+            # bin payload: (x, y, z, sorted index as f32). In the
+            # kernel's planes z is packed to bf16 alongside gidx + 1
+            # (16 bits -- P <= 65534, asserted in _scatter_planes); the
+            # jnp twin quantizes z identically.
             payload = jnp.concatenate(
                 [pts[:, :3],
                  jnp.arange(P, dtype=jnp.float32)[:, None]], axis=-1)

@@ -57,14 +57,27 @@ from jax.experimental.pallas import tpu as pltpu
 from dcf.ops.knn import DenseBins, knn_select_dense
 
 _BIG = 1e30
-_D = 4          # payload fields: x, y, z, gidx
-# Plane layout note: in the KERNEL's field planes, plane 3 carries
-# gidx + 1 with 0 meaning "empty slot" -- validity is folded into the
-# index plane instead of a 5th validity plane, cutting the binning
-# scatter's update count, the plane DMA, and the scr scratch by 20%
-# (the scatter cost tracks updates, not plane size -- BASELINE.md
-# round-4 op budget). DenseBins (the jnp twin's input) still carries
-# the raw gidx; the fold happens in _scatter_planes / build_planes.
+_D = 3          # payload planes: x, y, packed(bf16 z | gidx + 1)
+# Plane layout note: the KERNEL's field planes pack z and the point
+# index into ONE f32 word -- bf16(z) in the high 16 bits, gidx + 1 in
+# the low 16 (0 meaning "empty slot", so validity rides the same word;
+# exact while gidx + 1 < 65536, asserted at binning). x/y stay full
+# f32 (they feed the KNN distances and the geo offsets); z is an MLP
+# input feature only, and the jnp twin quantizes z to bf16 identically
+# so parity stays exact. Each fold cut the binning scatter's update
+# count, the plane DMA, and the scr scratch (5 planes in round 3 -> 4
+# in round 4 -> 3 now; the scatter cost tracks updates, not plane
+# size -- BASELINE.md op budgets). DenseBins (the jnp twin's input)
+# still carries the raw (x, y, z, gidx) payload; the pack happens in
+# _scatter_planes / build_planes.
+
+
+def _pack_zg(z: jnp.ndarray, gidx_plus1: jnp.ndarray) -> jnp.ndarray:
+    """f32 z + int gidx+1 (0 == empty) -> one packed f32 word."""
+    zb = jax.lax.bitcast_convert_type(
+        z.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    w = (zb << 16) | (gidx_plus1.astype(jnp.uint32) & 0xFFFF)
+    return jax.lax.bitcast_convert_type(w, jnp.float32)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -103,15 +116,16 @@ def bin_points_planes(points: jnp.ndarray, mask: jnp.ndarray,
     Equivalent to `build_planes(bin_points_dense(...))` (parity-tested)
     without materializing the [H, W, C, D] bins + the [B, D, C, H, W]
     transpose that XLA copies through HBM per fusion scale: one flat
-    scalar scatter writes every field at its final [D, C, RP, WP]
-    position (plane 3 == gidx + 1, 0 marking empty -- the _D note).
+    scalar scatter writes every field at its final [_D, C, RP, WP]
+    position (plane 2 packs bf16 z | gidx + 1, 0 marking empty -- the
+    _D note).
 
     Args:
-      points: [P, D] payload rows, first two columns BEV (x, y).
+      points: [P, 4] payload rows (x, y, z, gidx).
       mask: [P] validity.
 
     Returns:
-      [D, C, RP, WP] float32 planes.
+      [_D, C, RP, WP] float32 planes.
     """
     from dcf.ops.knn import _rank_within_runs
     H, W = grid_hw
@@ -204,24 +218,28 @@ def bin_points_planes_ranked(points: jnp.ndarray, rank: jnp.ndarray,
 
 def _scatter_planes(spoints, ok, rank, six, siy, C, RP, WP, D, P):
     """One flat unique-indices scatter of all payload fields into the
-    kernel's [D, C, RP, WP] plane layout; plane 3 holds gidx + 1 (0 ==
-    empty slot -- see the _D layout note), so no validity plane is
-    scattered: D*P updates instead of (D+1)*P."""
-    assert D == _D, D
+    kernel's [_D, C, RP, WP] plane layout; plane 2 packs (bf16 z |
+    gidx + 1), 0 marking empty slots -- see the _D layout note -- so
+    neither z nor validity costs its own plane: _D*P updates instead of
+    (D+1)*P."""
+    assert D == 4, D                     # payload rows: x, y, z, gidx
+    assert P <= 0xFFFE, P                # gidx + 1 must fit 16 bits
     # spatial offset of the point's cell inside one [RP, WP] plane
     spatial = (rank * RP + six) * WP + siy                      # [P]
     plane = C * RP * WP
     iota = jnp.arange(P, dtype=jnp.int32)
-    base = jnp.where(ok, spatial, D * plane + iota)             # drop slot
-    pay = jnp.concatenate([spoints[:, :3], spoints[:, 3:4] + 1.0], axis=1)
-    vals = pay.T.reshape(-1)                                    # [D * P]
+    base = jnp.where(ok, spatial, _D * plane + iota)            # drop slot
+    packed = _pack_zg(spoints[:, 2],
+                      spoints[:, 3].astype(jnp.int32) + 1)      # [P]
+    pay = jnp.concatenate([spoints[:, :2], packed[:, None]], axis=1)
+    vals = pay.T.reshape(-1)                                    # [_D * P]
     idx = (base[None, :]
-           + plane * jnp.arange(D, dtype=jnp.int32)[:, None]
-           ).reshape(-1)                                        # [D * P]
-    flat = jnp.zeros((D * plane,), jnp.float32)
+           + plane * jnp.arange(_D, dtype=jnp.int32)[:, None]
+           ).reshape(-1)                                        # [_D * P]
+    flat = jnp.zeros((_D * plane,), jnp.float32)
     flat = flat.at[idx].set(vals.astype(jnp.float32), mode="drop",
                             unique_indices=True)
-    return flat.reshape(D, C, RP, WP)
+    return flat.reshape(_D, C, RP, WP)
 
 
 def _coarse_rank_presorted(points, mask, origin, cell_size, grid_hw,
@@ -305,17 +323,21 @@ def _coarse_rank_presorted(points, mask, origin, cell_size, grid_hw,
 
 
 def build_planes(bins: DenseBins, r: int, tile_rows: int) -> jnp.ndarray:
-    """[B, H, W, C, D] bins -> [B, D, C, RP, WP] field planes (plane 3 ==
-    (gidx + 1) * valid, 0 marking empty slots -- see the _D layout
-    note), zero-padded r rows/cols top/left, aligned slack elsewhere."""
+    """[B, H, W, C, 4] bins -> [B, _D, C, RP, WP] field planes (plane 2
+    packs (bf16 z | (gidx + 1) * valid), 0 marking empty slots -- see
+    the _D layout note), zero-padded r rows/cols top/left, aligned
+    slack elsewhere."""
     B, H, W, C, D = bins.data.shape
-    assert D == _D, D
+    assert D == 4, D
     TH, H_eff, TS, WP, RP = _plane_geometry(H, W, r, tile_rows)
-    valid = bins.valid.astype(jnp.float32)                    # [B, H, W, C]
+    gp1 = ((bins.data[..., 3].astype(jnp.int32) + 1)
+           * bins.valid.astype(jnp.int32))                    # [B, H, W, C]
+    packed = _pack_zg(bins.data[..., 2].astype(jnp.float32), gp1)
+    # empty slots must be all-zero words (validity == low 16 bits)
+    packed = jnp.where(bins.valid, packed, 0.0)
     data = jnp.concatenate(
-        [bins.data[..., :3].astype(jnp.float32),
-         ((bins.data[..., 3].astype(jnp.float32) + 1.0)
-          * valid)[..., None]], axis=-1)
+        [bins.data[..., :2].astype(jnp.float32), packed[..., None]],
+        axis=-1)
     planes = jnp.transpose(data, (0, 4, 3, 1, 2))
     return jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (r, RP - H - r),
                             (r, WP - W - r)))
@@ -406,12 +428,17 @@ def fusion_windows(fine_row: jnp.ndarray, num_slabs: int, tile_rows: int,
 # forward kernel
 # --------------------------------------------------------------------------
 
+def _valid16(w):
+    """Packed-plane validity: low 16 bits (gidx + 1) nonzero."""
+    return (pltpu.bitcast(w, jnp.uint32) & 0xFFFF) > 0
+
+
 def _cascade_onepass(scr, cx, cy, *, TH, C, K, r):
     """Classic streaming KNN insertion cascade (knn_kernel.py scheme):
     every candidate runs the full K-deep compare/swap chain over all
     _D fields. 2K + K*_D (TH, WP) arrays stay live across the whole
-    candidate loop. Validity comes from field 3 (gidx + 1 > 0.5 -- the
-    folded layout, see the _D note)."""
+    candidate loop. Validity comes from field 2's packed low 16 bits
+    (gidx + 1 > 0 -- the packed layout, see the _D note)."""
     WP = cx.shape[1]
     top_d = [jnp.full((TH, WP), _BIG, jnp.float32) for _ in range(K)]
     top_p = [[jnp.zeros((TH, WP), jnp.float32) for _ in range(_D)]
@@ -422,7 +449,7 @@ def _cascade_onepass(scr, cx, cy, *, TH, C, K, r):
         for di in range(win):
             for dj in range(win):
                 sh = [_roll2(f, di, dj)[:TH, :] for f in fields]
-                v = sh[3] > 0.5
+                v = _valid16(sh[2])
                 ddx = sh[0] - cx
                 ddy = sh[1] - cy
                 d = jnp.where(v, ddx * ddx + ddy * ddy, jnp.float32(_BIG))
@@ -475,10 +502,10 @@ def _cascade_twopass(scr, cx, cy, *, TH, C, K, r, SG):
              for _ in range(K)]
     idx = 0
     for c in range(C):
-        fx, fy, fv = scr[0, c], scr[1, c], scr[3, c]
+        fx, fy, fpk = scr[0, c], scr[1, c], scr[2, c]
         for di in range(win):
             for dj in range(win):
-                v = _roll2(fv, di, dj)[:TH, :] > 0.5
+                v = _valid16(_roll2(fpk, di, dj)[:TH, :])
                 ddx = _roll2(fx, di, dj)[:TH, :] - cx
                 ddy = _roll2(fy, di, dj)[:TH, :] - cy
                 d = jnp.where(v, ddx * ddx + ddy * ddy, jnp.float32(_BIG))
@@ -510,7 +537,7 @@ def _cascade_twopass(scr, cx, cy, *, TH, C, K, r, SG):
             for di in range(win):
                 for dj in range(win):
                     sh = [_roll2(f, di, dj)[:TH, :] for f in fields]
-                    v = sh[3] > 0.5
+                    v = _valid16(sh[2])
                     ddx = sh[0] - cx
                     ddy = sh[1] - cy
                     d = jnp.where(v, ddx * ddx + ddy * ddy,
@@ -570,7 +597,6 @@ def _fwd_kernel(starts_ref, rstarts_ref, planes_hbm, z1t_hbm, wsmall_ref,
     iota_cr = jax.lax.broadcasted_iota(jnp.int32, (CAPR, W), 0)
     cyr = origin[1] + (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
                        .astype(jnp.float32) + 0.5) * cell_size
-    startf = start.astype(jnp.float32)
     for rr in range(TH):
         acc = jnp.zeros((HID, W), jnp.float32)
         cnt = jnp.zeros((1, W), jnp.float32)
@@ -583,21 +609,25 @@ def _fwd_kernel(starts_ref, rstarts_ref, planes_hbm, z1t_hbm, wsmall_ref,
         roff = rstarts_ref[b, ti * TH + rr]
         roff = pl.multiple_of(roff, 128)
         slab_r = z1scr[:, pl.ds(roff, CAPR)]                  # [HID, CAPR]
-        # plane 3 / the stash carry gidx + 1 (0 == empty); absorb the +1
-        rbasef = startf + roff.astype(jnp.float32) + 1.0
+        # the packed plane's low 16 bits carry gidx + 1 (0 == empty);
+        # absorb the +1 into the window base
+        rbase = start + roff + 1
         for k in range(K):
             d_r = top_d[k][rr:rr + 1, :W]
             pairok = d_r < _BIG
-            lidx = top_p[k][3][rr:rr + 1, :W] - rbasef
+            bits = pltpu.bitcast(top_p[k][2][rr:rr + 1, :W], jnp.uint32)
+            lidx = (bits & 0xFFFF).astype(jnp.int32) - rbase
+            pz = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000),
+                               jnp.float32)                   # bf16 z
             ok = pairok & (lidx >= 0) & (lidx < CAPR)
-            key = jnp.where(ok, lidx, -1.0).astype(jnp.int32)
+            key = jnp.where(ok, lidx, -1)
             oh = (iota_cr == key).astype(jnp.bfloat16)        # [CAPR, W]
             z1sel = jax.lax.dot_general(
                 slab_r, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # [HID, W]
             geo = (top_p[k][0][rr:rr + 1, :W] - cxr,
                    top_p[k][1][rr:rr + 1, :W] - cyr,
-                   top_p[k][2][rr:rr + 1, :W],
+                   pz,
                    jnp.sqrt(jnp.minimum(d_r, 1e6)))
             # geometric projection on the VPU: 4 broadcast FMAs beat a
             # contraction-dim-4 MXU matmul
@@ -611,11 +641,11 @@ def _fwd_kernel(starts_ref, rstarts_ref, planes_hbm, z1t_hbm, wsmall_ref,
         out_ref[0, HID:HID + 1, rr, :] = cnt
         if STASH:
             # stash the cascade's selections for the backward (training
-            # path): per k, (px, py, pz, gidx, d2) as 5 extra channels.
-            # The backward then skips the planes DMA and the whole
-            # KNN cascade recompute.
+            # path): per k, (px, py, packed(z | gidx + 1), d2) as 4
+            # extra channels. The backward then skips the planes DMA
+            # and the whole KNN cascade recompute.
             for k in range(K):
-                base = HID + 1 + 5 * k
+                base = HID + 1 + 4 * k
                 out_ref[0, base + 0:base + 1, rr, :] = \
                     top_p[k][0][rr:rr + 1, :W]
                 out_ref[0, base + 1:base + 2, rr, :] = \
@@ -623,8 +653,6 @@ def _fwd_kernel(starts_ref, rstarts_ref, planes_hbm, z1t_hbm, wsmall_ref,
                 out_ref[0, base + 2:base + 3, rr, :] = \
                     top_p[k][2][rr:rr + 1, :W]
                 out_ref[0, base + 3:base + 4, rr, :] = \
-                    top_p[k][3][rr:rr + 1, :W]
-                out_ref[0, base + 4:base + 5, rr, :] = \
                     top_d[k][rr:rr + 1, :W]
 
 
@@ -658,7 +686,6 @@ def _bwd_kernel(starts_ref, rstarts_ref, z1t_hbm, wsmall_ref, dacc_ref,
     iota_cr = jax.lax.broadcasted_iota(jnp.int32, (CAPR, W), 0)
     cyr = origin[1] + (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
                        .astype(jnp.float32) + 0.5) * cell_size
-    startf = start.astype(jnp.float32)
     dsm = [jnp.zeros((HID, 1), jnp.float32) for _ in range(5)]
     for rr in range(TH):
         da = dacc_ref[0, :, rr, :]                            # [HID, W]
@@ -667,20 +694,23 @@ def _bwd_kernel(starts_ref, rstarts_ref, z1t_hbm, wsmall_ref, dacc_ref,
         roff = rstarts_ref[b, ti * TH + rr]
         roff = pl.multiple_of(roff, 128)
         slab_r = z1scr[:, pl.ds(roff, CAPR)]                  # [HID, CAPR]
-        # plane 3 / the stash carry gidx + 1 (0 == empty); absorb the +1
-        rbasef = startf + roff.astype(jnp.float32) + 1.0
+        # the stash's packed channel carries (bf16 z | gidx + 1);
+        # absorb the +1 into the window base
+        rbase = start + roff + 1
         drow = jnp.zeros((HID, CAPR), jnp.float32)
         for k in range(K):
-            base = 5 * k
+            base = 4 * k
             px = stash_ref[0, base + 0, rr:rr + 1, :]         # [1, W]
             py = stash_ref[0, base + 1, rr:rr + 1, :]
-            pz = stash_ref[0, base + 2, rr:rr + 1, :]
-            gidx = stash_ref[0, base + 3, rr:rr + 1, :]
-            d_r = stash_ref[0, base + 4, rr:rr + 1, :]
+            bits = pltpu.bitcast(stash_ref[0, base + 2, rr:rr + 1, :],
+                                 jnp.uint32)
+            d_r = stash_ref[0, base + 3, rr:rr + 1, :]
+            pz = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000),
+                               jnp.float32)                   # bf16 z
             pairok = d_r < _BIG
-            lidx = gidx - rbasef
+            lidx = (bits & 0xFFFF).astype(jnp.int32) - rbase
             ok = pairok & (lidx >= 0) & (lidx < CAPR)
-            key = jnp.where(ok, lidx, -1.0).astype(jnp.int32)
+            key = jnp.where(ok, lidx, -1)
             oh = (iota_cr == key).astype(jnp.bfloat16)        # [CAPR, W]
             z1sel = jax.lax.dot_general(
                 slab_r, oh, (((1,), (0,)), ((), ())),
@@ -733,13 +763,14 @@ def _pack_small(wgt, bg):
 def _fwd_impl(planes, z1t, starts, rstarts, wgt, bg, origin, cell_size, k,
               radius_cells, tile_rows, capz, capr, H, W, interpret,
               stash=False, cascade="onepass", slot_group=2):
-    """stash=True (training path) widens the output by 5*K channels
-    carrying each pixel's selected (px, py, pz, gidx, d2) per neighbor,
+    """stash=True (training path) widens the output by 4*K channels
+    carrying each pixel's selected (px, py, packed(z | gidx + 1), d2)
+    per neighbor,
     and returns the FULL H_eff rows -- the backward consumes them in
     place of re-running the KNN cascade."""
     B, C, HID, TH, H_eff, TS, WP, NS = _sizes(planes, z1t, tile_rows,
                                               radius_cells, H, W)
-    OC = HID + 1 + (5 * k if stash else 0)
+    OC = HID + 1 + (4 * k if stash else 0)
     kernel = functools.partial(
         _fwd_kernel, TH=TH, TS=TS, W=W, WP=WP, C=C, K=k, r=radius_cells,
         HID=HID, CAPZ=capz, CAPR=capr, origin=origin, cell_size=cell_size,
@@ -775,7 +806,7 @@ def _fwd_impl(planes, z1t, starts, rstarts, wgt, bg, origin, cell_size, k,
 def _bwd_impl(stash, z1t, starts, rstarts, wgt, bg, dacc, origin,
               cell_size, k, radius_cells, tile_rows, capz, capr, H, W,
               interpret):
-    """stash: [B, 5*k, H_eff, W] forward-stashed selections."""
+    """stash: [B, 4*k, H_eff, W] forward-stashed selections."""
     B = z1t.shape[0]
     HID = z1t.shape[1]
     TH, H_eff, TS, WP, RP = _plane_geometry(H, W, radius_cells, tile_rows)
@@ -791,7 +822,7 @@ def _bwd_impl(stash, z1t, starts, rstarts, wgt, bg, dacc, origin,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HID, TH, W), lambda b, i, *_: (b, 0, i, 0)),
-            pl.BlockSpec((1, 5 * k, TH, W),
+            pl.BlockSpec((1, 4 * k, TH, W),
                          lambda b, i, *_: (b, 0, i, 0)),
         ],
         out_specs=[
@@ -856,7 +887,7 @@ def _fused_fusion_fwd(planes, z1t, starts, rstarts, wgt, bg, origin,
                      H, W, interpret, stash=True, cascade=cascade,
                      slot_group=slot_group)
     out = full[:, :HID + 1, :H]
-    stash = full[:, HID + 1:]              # [B, 5k, H_eff, W]
+    stash = full[:, HID + 1:]              # [B, 4k, H_eff, W]
     # planes carry no cotangent (stop_gradient upstream) and are NOT
     # kept as a residual -- that would pin ~30 MB of HBM per scale; the
     # backward rebuilds the zero from static geometry + plane_capacity
@@ -913,7 +944,7 @@ def fused_fusion(bins: DenseBins, z1t: jnp.ndarray, starts: jnp.ndarray,
       relu(z1[neighbor] + wgt @ geo + bg), last channel = valid-pair count.
     """
     B, H, W, C, D = bins.data.shape
-    assert D == _D, f"payload must be (x, y, z, gidx), got D={D}"
+    assert D == 4, f"payload must be (x, y, z, gidx), got D={D}"
     planes = build_planes(bins, radius_cells, tile_rows)
     # convenience wrapper (tests / twin parity): fused_fusion_planes
     # takes the kernel's feature-major layout
