@@ -322,13 +322,21 @@ def _coarse_rank_presorted(points, mask, origin, cell_size, grid_hw,
     return ix, iy, rank, inb
 
 
-def build_planes(bins: DenseBins, r: int, tile_rows: int) -> jnp.ndarray:
+def build_planes(bins: DenseBins, r: int, tile_rows: int,
+                 num_points: int | None = None) -> jnp.ndarray:
     """[B, H, W, C, 4] bins -> [B, _D, C, RP, WP] field planes (plane 2
     packs (bf16 z | (gidx + 1) * valid), 0 marking empty slots -- see
     the _D layout note), zero-padded r rows/cols top/left, aligned
-    slack elsewhere."""
+    slack elsewhere.
+
+    num_points, when the caller knows it, bounds the gidx payload: the
+    pack keeps only the low 16 bits, so gidx + 1 must fit (mirrors the
+    P <= 0xFFFE assert in _scatter_planes; without it >65534-point bins
+    would alias z1 rows silently)."""
     B, H, W, C, D = bins.data.shape
     assert D == 4, D
+    if num_points is not None:
+        assert num_points <= 0xFFFE, num_points  # gidx + 1 must fit 16 bits
     TH, H_eff, TS, WP, RP = _plane_geometry(H, W, r, tile_rows)
     gp1 = ((bins.data[..., 3].astype(jnp.int32) + 1)
            * bins.valid.astype(jnp.int32))                    # [B, H, W, C]
@@ -945,7 +953,8 @@ def fused_fusion(bins: DenseBins, z1t: jnp.ndarray, starts: jnp.ndarray,
     """
     B, H, W, C, D = bins.data.shape
     assert D == 4, f"payload must be (x, y, z, gidx), got D={D}"
-    planes = build_planes(bins, radius_cells, tile_rows)
+    planes = build_planes(bins, radius_cells, tile_rows,
+                          num_points=z1t.shape[1])
     # convenience wrapper (tests / twin parity): fused_fusion_planes
     # takes the kernel's feature-major layout
     z1t = jnp.transpose(z1t, (0, 2, 1))
@@ -1018,8 +1027,11 @@ def fused_fusion_reference(bins: DenseBins, z1: jnp.ndarray,
         cx = origin[0] + (rows.astype(jnp.float32) + 0.5) * cell_size
         cy = origin[1] + (cols.astype(jnp.float32) + 0.5) * cell_size
         cxy = jnp.stack([cx, cy], -1).reshape(H * W, 1, 2)
+        # z rides the packed plane as bf16 in the kernel (_pack_zg); the
+        # twin quantizes identically so kernel-vs-twin parity is exact.
+        zq = nbr[..., 2:3].astype(jnp.bfloat16).astype(jnp.float32)
         geo = jnp.concatenate(
-            [nbr[..., :2] - cxy, nbr[..., 2:3],
+            [nbr[..., :2] - cxy, zq,
              jnp.sqrt(jnp.minimum(d2, 1e6))[..., None]], axis=-1)  # [HW,k,4]
 
         z1g = z1_b[idx].astype(jnp.float32)                   # [HW, k, hid]
