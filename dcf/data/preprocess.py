@@ -80,11 +80,18 @@ def fusion_host_arrays(points: np.ndarray, mask: np.ndarray,
       {"points_uvz": [P, 3] f32 (u, v, depth),
        "fusion_rank": [S, P] int32, -1 where the point is invalid for
        that scale (padding / behind camera / outside that pyramid
-       level's image / outside the BEV grid), else the in-cell rank}.
+       level's image / outside the BEV grid), else the in-cell rank,
+       "fusion_row_cum": [L] int32 shared fine-row cumulative histogram
+       (cum[x] == #points with fine-grid row < x; the scale-invariant
+       half of every fusion_windows call, fusion_kernel.fine_row_cum)}.
     """
+    from dcf.models.fusion import fusion_row_cum_len
     vox = cfg.voxel
     pts = points.astype(np.float32, copy=False)
     m = v2i.astype(np.float32)
+    # numpy BLAS f32 sgemm, matching the device's Precision.HIGHEST dot
+    # bit-for-bit on XLA:CPU (dcf.geometry.transforms
+    # .project_velo_to_image's precision note)
     uvw = pts[:, :3] @ m[:, :3].T + m[:, 3]
     depth = uvw[:, 2:3]
     uv = (uvw[:, :2] / np.maximum(np.abs(depth), np.float32(1e-6))
@@ -118,7 +125,22 @@ def fusion_host_arrays(points: np.ndarray, mask: np.ndarray,
         rank_sorted = np.arange(P) - run_start
         valid_sorted = ok[order]
         ranks[si, order[valid_sorted]] = rank_sorted[valid_sorted]
-    return {"points_uvz": uvz, "fusion_rank": ranks}
+
+    # shared fine-row cum (fine_rows_for_fusion's exact f32 arithmetic)
+    fine = min(cfg.backbone.fusion_strides)
+    Hf = vox.grid_x // fine
+    Wf = vox.grid_y // fine
+    cellf = np.float32(vox.voxel_size * fine)
+    fx = np.floor((pts[:, 0] - np.float32(vox.x_min)) / cellf
+                  ).astype(np.int32)
+    fy = np.floor((pts[:, 1] - np.float32(vox.y_min)) / cellf
+                  ).astype(np.int32)
+    finb = mask & (fx >= 0) & (fx < Hf) & (fy >= 0) & (fy < Wf)
+    L = fusion_row_cum_len(cfg)
+    counts = np.bincount(fx[finb], minlength=L - 1).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return {"points_uvz": uvz, "fusion_rank": ranks,
+            "fusion_row_cum": cum}
 
 
 def s2d_image(image: np.ndarray) -> np.ndarray:

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dcf.config import Config
@@ -23,6 +24,7 @@ from dcf.data.voxelize import rasterize_bev_batch
 from dcf.models.bev_backbone import BEVFPN
 from dcf.models.fusion import (ContinuousFusionLayer, fine_rows_for_fusion,
                                image_stride_for, sort_points_for_fusion)
+from dcf.ops.pallas.fusion_kernel import bin_points_planes_multi
 from dcf.models.head import DetectionHead
 from dcf.models.layers import BasicBlock
 from dcf.models.resnet import ImageBackbone
@@ -82,6 +84,39 @@ class ContFuseDetector(nn.Module):
             ranks = batch.get("fusion_rank")      # [B, S, P]
             if not cfg.fusion.host_binned_ranks:
                 uvz = ranks = None
+            # shared fine-row cumulative histogram: the only O(P) work
+            # in every scale's fusion_windows, and it is scale-invariant
+            # -- host-shipped when available, else computed once here
+            row_cum = None
+            if cfg.fusion.use_pallas:
+                row_cum = batch.get("fusion_row_cum")
+                if row_cum is None:
+                    from dcf.models.fusion import fusion_row_cum_len
+                    from dcf.ops.pallas.fusion_kernel import fine_row_cum
+                    L = fusion_row_cum_len(cfg)
+                    row_cum = jax.vmap(
+                        lambda fr: fine_row_cum(fr, L - 1))(fine_row)
+            # with host ranks + the Pallas kernel, ALL scales' packed
+            # field planes come from ONE flat scatter (scatter cost
+            # tracks update count + per-op overhead; four per-scale
+            # scatters were ~0.6 ms each at B=1 on v5e)
+            scale_planes = None
+            if ranks is not None and cfg.fusion.use_pallas:
+                strides = cfg.backbone.fusion_strides
+                B, P = pts_f.shape[:2]
+                gidx = jnp.broadcast_to(
+                    jnp.arange(P, dtype=jnp.float32)[None, :, None],
+                    (B, P, 1))
+                payload = jnp.concatenate([pts_f[..., :3], gidx], -1)
+                scale_planes = jax.vmap(
+                    lambda pay, rk: bin_points_planes_multi(
+                        pay, rk, (cfg.voxel.x_min, cfg.voxel.y_min),
+                        [cfg.voxel.voxel_size * s for s in strides],
+                        [(cfg.voxel.grid_x // s, cfg.voxel.grid_y // s)
+                         for s in strides],
+                        cfg.fusion.bin_capacity,
+                        cfg.fusion.search_radius_cells,
+                        cfg.fusion.pallas_tile_rows))(payload, ranks)
 
         # no stride-1 stem: a full-resolution conv + norm over the
         # 704x800 grid costs ~2.5 ms for little accuracy benefit; stage 0
@@ -113,7 +148,10 @@ class ContFuseDetector(nn.Module):
                         pts_f, mask_f, fine_row,
                         batch["velo_to_image"], img_feats[img_stride],
                         uvz=uvz,
-                        rank=None if ranks is None else ranks[:, si])
+                        rank=None if ranks is None else ranks[:, si],
+                        planes=None if scale_planes is None
+                        else scale_planes[si],
+                        row_cum=row_cum)
                 x = x + fused.astype(dtype)
             feats[stride] = x
 

@@ -76,6 +76,23 @@ def sort_points_for_fusion(points: jnp.ndarray, mask: jnp.ndarray,
     return jax.vmap(one)(points, mask)
 
 
+def fusion_row_cum_len(cfg: Config) -> int:
+    """Length of the shared `fine_row_cum` table: max over fusion scales
+    of (padded rows x fine-row ratio) + 1. Real fine rows are always
+    strictly below every scale's span, so one table serves all scales
+    (fusion_kernel.fusion_windows' `cum`)."""
+    fine = min(cfg.backbone.fusion_strides)
+    m = 0
+    for s in cfg.backbone.fusion_strides:
+        H = cfg.voxel.grid_x // s
+        W = cfg.voxel.grid_y // s
+        TH, H_eff, _, _, _ = _plane_geometry(
+            H, W, cfg.fusion.search_radius_cells,
+            cfg.fusion.pallas_tile_rows)
+        m = max(m, H_eff * (s // fine))
+    return m + 1
+
+
 def fine_rows_for_fusion(points: jnp.ndarray, mask: jnp.ndarray,
                          vox: VoxelConfig, fine_stride: int) -> jnp.ndarray:
     """Elementwise fine-grid row ids for HOST-pre-sorted points.
@@ -110,7 +127,9 @@ class ContinuousFusionLayer(nn.Module):
                  fine_row: jnp.ndarray, velo_to_image: jnp.ndarray,
                  image_feat: jnp.ndarray,
                  uvz: jnp.ndarray | None = None,
-                 rank: jnp.ndarray | None = None) -> jnp.ndarray:
+                 rank: jnp.ndarray | None = None,
+                 planes: jnp.ndarray | None = None,
+                 row_cum: jnp.ndarray | None = None) -> jnp.ndarray:
         """Args:
           points: [B, P, 4] padded lidar points, fine-grid sorted.
           mask: [B, P] validity (sorted order).
@@ -122,6 +141,13 @@ class ContinuousFusionLayer(nn.Module):
             on device.
           rank: [B, P] int32 HOST-computed in-cell rank at this scale
             (-1 invalid); None -> derive the binning on device.
+          planes: [B, _D, C, RP, WP] PREBUILT packed field planes for
+            this scale (the detector's one fused multi-scale scatter,
+            fusion_kernel.bin_points_planes_multi); skips binning here.
+            Pallas path only.
+          row_cum: [B, L] shared fine-row cumulative histogram
+            (fusion_kernel.fine_row_cum, L == fusion_row_cum_len(cfg));
+            None -> per-layer histogram from fine_row.
 
         Returns:
           [B, H, W, out_channels] BEV feature contribution at `bev_stride`.
@@ -163,10 +189,12 @@ class ContinuousFusionLayer(nn.Module):
             z1p, inside = bilinear_sample(
                 zmap, uvz_b[..., :2] / float(self.image_stride))  # [P, hid]
 
-            # bin payload: (x, y, z, sorted index as f32). In the
-            # kernel's planes z is packed to bf16 alongside gidx + 1
-            # (16 bits -- P <= 65534, asserted in _scatter_planes); the
-            # jnp twin quantizes z identically.
+            # bin payload: (x, y, z, sorted index as f32). The kernel's
+            # planes pack the whole payload into two bf16-pair words
+            # (x/y as cell-center offsets, z alongside gidx + 1; 16-bit
+            # index -- P <= 65534, asserted in _scatter_planes); the
+            # jnp twin quantizes x/y/z identically
+            # (fusion_kernel.quantize_payload_xyz).
             payload = jnp.concatenate(
                 [pts[:, :3],
                  jnp.arange(P, dtype=jnp.float32)[:, None]], axis=-1)
@@ -206,7 +234,14 @@ class ContinuousFusionLayer(nn.Module):
         # first-MLP-layer split: the image half (already applied to the
         # map above) is realized per point by the bilinear sample; the
         # geometric half is applied per pair inside the kernel / twin
-        if rank is not None:
+        if planes is not None:
+            assert fus.use_pallas, "prebuilt planes are the Pallas path"
+            binned = planes
+            z1 = jax.vmap(
+                lambda u, zmap: bilinear_sample(
+                    zmap, u[..., :2] / float(self.image_stride))[0])(
+                        uvz, z1_map)
+        elif rank is not None:
             binned, z1 = jax.vmap(
                 lambda pts, msk, fr, u, zmap, rk:
                 prepare(pts, msk, fr, u, zmap, rk))(
@@ -241,9 +276,15 @@ class ContinuousFusionLayer(nn.Module):
             z1t = jnp.pad(jnp.transpose(z1.astype(jnp.bfloat16),
                                         (0, 2, 1)),
                           ((0, 0), (0, 0), (0, P_pad - P)))  # [B,hid,P_pad]
-            starts, rstarts, overflow = jax.vmap(
-                lambda fr: fusion_windows(fr, NS, TH, r, ratio, capz,
-                                          capr, P_pad))(fine_row)
+            if row_cum is not None:
+                starts, rstarts, overflow = jax.vmap(
+                    lambda cm: fusion_windows(None, NS, TH, r, ratio,
+                                              capz, capr, P_pad,
+                                              cum=cm))(row_cum)
+            else:
+                starts, rstarts, overflow = jax.vmap(
+                    lambda fr: fusion_windows(fr, NS, TH, r, ratio, capz,
+                                              capr, P_pad))(fine_row)
             # Overflowing points fall outside their row's z1 window and
             # would lose their fusion pairs; surface the count
             # (collected into train metrics by the loss fn; the debug

@@ -57,19 +57,28 @@ from jax.experimental.pallas import tpu as pltpu
 from dcf.ops.knn import DenseBins, knn_select_dense
 
 _BIG = 1e30
-_D = 3          # payload planes: x, y, packed(bf16 z | gidx + 1)
-# Plane layout note: the KERNEL's field planes pack z and the point
-# index into ONE f32 word -- bf16(z) in the high 16 bits, gidx + 1 in
-# the low 16 (0 meaning "empty slot", so validity rides the same word;
-# exact while gidx + 1 < 65536, asserted at binning). x/y stay full
-# f32 (they feed the KNN distances and the geo offsets); z is an MLP
-# input feature only, and the jnp twin quantizes z to bf16 identically
-# so parity stays exact. Each fold cut the binning scatter's update
-# count, the plane DMA, and the scr scratch (5 planes in round 3 -> 4
-# in round 4 -> 3 now; the scatter cost tracks updates, not plane
-# size -- BASELINE.md op budgets). DenseBins (the jnp twin's input)
-# still carries the raw (x, y, z, gidx) payload; the pack happens in
-# _scatter_planes / build_planes.
+_D = 2          # payload planes: packed(bf16 dx | bf16 dy),
+#                                 packed(bf16 z  | gidx + 1)
+# Plane layout note: the KERNEL's field planes pack the whole
+# (x, y, z, gidx) payload into TWO f32 words per slot:
+#   plane 0: bf16(x - cell_center_x) << 16 | bf16(y - cell_center_y)
+#   plane 1: bf16(z) << 16 | (gidx + 1)   (0 == "empty slot", so
+#            validity rides this word; exact while gidx + 1 < 65536,
+#            asserted at binning)
+# x/y are stored as offsets from the point's OWN cell center, so bf16's
+# 8-bit mantissa loses at most cell_size * 2^-9 (~0.2 mm at the finest
+# scale, ~1.6 mm at stride 16) instead of the ~0.1 m it would lose on
+# absolute coordinates. The kernel reconstructs the absolute position
+# exactly as cell_center + offset -- it knows each candidate's cell
+# from the plane position -- with the SAME f32 expression the jnp twin
+# uses, and the twin quantizes x/y/z identically
+# (fused_fusion_reference), so kernel-vs-twin parity stays exact.
+# Each fold cut the binning scatter's update count, the plane DMA, and
+# the scr scratch (5 planes in round 3 -> 4 in round 4 -> 3 -> 2 now;
+# the scatter cost tracks updates, not plane size -- BASELINE.md op
+# budgets). DenseBins (the jnp twin's input) still carries the raw
+# (x, y, z, gidx) payload; the pack happens in _scatter_planes /
+# build_planes, the matching quantization in fused_fusion_reference.
 
 
 def _pack_zg(z: jnp.ndarray, gidx_plus1: jnp.ndarray) -> jnp.ndarray:
@@ -78,6 +87,43 @@ def _pack_zg(z: jnp.ndarray, gidx_plus1: jnp.ndarray) -> jnp.ndarray:
         z.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
     w = (zb << 16) | (gidx_plus1.astype(jnp.uint32) & 0xFFFF)
     return jax.lax.bitcast_convert_type(w, jnp.float32)
+
+
+def _pack_xy(dx: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 cell-center offsets -> one packed f32 word
+    (bf16(dx) high 16 bits, bf16(dy) low 16)."""
+    xb = jax.lax.bitcast_convert_type(
+        dx.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    yb = jax.lax.bitcast_convert_type(
+        dy.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((xb << 16) | yb, jnp.float32)
+
+
+def quantize_payload_xyz(data: jnp.ndarray, origin, cell_size: float
+                         ) -> jnp.ndarray:
+    """Apply the packed-plane bf16 quantization to a DenseBins payload
+    [H, W, C, 4] -- the jnp-twin half of the _D layout note.
+
+    x/y are rounded through bf16 RELATIVE to their bin's cell center
+    (the f32 center formula matches the kernel's reconstruction
+    bit-for-bit), z through plain bf16."""
+    H, W = data.shape[:2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ccx = (origin[0] + (rows.astype(jnp.float32) + 0.5)
+           * cell_size)[..., None]                            # [H, W, 1]
+    ccy = (origin[1] + (cols.astype(jnp.float32) + 0.5)
+           * cell_size)[..., None]
+    f32 = jnp.float32
+
+    def q(v):
+        return v.astype(jnp.bfloat16).astype(f32)
+
+    return jnp.stack(
+        [ccx + q(data[..., 0].astype(f32) - ccx),
+         ccy + q(data[..., 1].astype(f32) - ccy),
+         q(data[..., 2].astype(f32)),
+         data[..., 3].astype(f32)], axis=-1)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -148,11 +194,9 @@ def bin_points_planes(points: jnp.ndarray, mask: jnp.ndarray,
         ix, iy, rank, inb = _coarse_rank_presorted(
             points, mask, origin, cell_size, (H, W), fine_ratio,
             sort_valid)
-        six = ix + r
-        siy = iy + r
-        spoints = points
         ok = (rank < C) & inb
-        return _scatter_planes(spoints, ok, rank, six, siy, C, RP, WP, D, P)
+        return _scatter_planes(points, ok, rank, ix, iy, C, RP, WP, D, P,
+                               r, origin, cell_size)
     ix = jnp.floor((points[:, 0] - origin[0]) / cell_size).astype(jnp.int32)
     iy = jnp.floor((points[:, 1] - origin[1]) / cell_size).astype(jnp.int32)
     inb = mask & (ix >= 0) & (ix < H) & (iy >= 0) & (iy < W)
@@ -182,19 +226,20 @@ def bin_points_planes(points: jnp.ndarray, mask: jnp.ndarray,
         _, incl = jax.lax.associative_scan(seg_op, (start, valid32))
         rank = incl - valid32
         sorted_cell = jnp.where(inb, group, H * W)
-        six = ix + r
-        siy = iy + r
+        six = ix
+        siy = iy
         spoints = points
         ok = (rank < C) & (sorted_cell < H * W)
     else:
         order = jnp.argsort(cell)
         sorted_cell = cell[order]
-        six = ix[order] + r
-        siy = iy[order] + r
+        six = ix[order]
+        siy = iy[order]
         spoints = points[order]
         rank = _rank_within_runs(sorted_cell)
         ok = (rank < C) & (sorted_cell < H * W)
-    return _scatter_planes(spoints, ok, rank, six, siy, C, RP, WP, D, P)
+    return _scatter_planes(spoints, ok, rank, six, siy, C, RP, WP, D, P,
+                           r, origin, cell_size)
 
 
 def bin_points_planes_ranked(points: jnp.ndarray, rank: jnp.ndarray,
@@ -213,26 +258,108 @@ def bin_points_planes_ranked(points: jnp.ndarray, rank: jnp.ndarray,
     ix = jnp.floor((points[:, 0] - origin[0]) / cell_size).astype(jnp.int32)
     iy = jnp.floor((points[:, 1] - origin[1]) / cell_size).astype(jnp.int32)
     ok = (rank >= 0) & (rank < C)
-    return _scatter_planes(points, ok, rank, ix + r, iy + r, C, RP, WP, D, P)
+    return _scatter_planes(points, ok, rank, ix, iy, C, RP, WP, D, P,
+                           r, origin, cell_size)
 
 
-def _scatter_planes(spoints, ok, rank, six, siy, C, RP, WP, D, P):
+def bin_points_planes_multi(points, ranks, origin, cell_sizes, grids,
+                            capacity: int, r: int, tile_rows: int):
+    """EVERY fusion scale's plane tables from ONE flat scatter.
+
+    Semantically `[bin_points_planes_ranked(points, ranks[s], ...) for
+    s]` (bit-identical, tested), but all scales' updates land in one
+    unique-indices scatter over one concatenated flat buffer: XLA's
+    scatter cost tracks the update count plus a per-op serialization
+    overhead, and the packed z|gidx word (scale-invariant) is computed
+    once instead of per scale. With _D == 2 this is 2*S*P updates for
+    the whole fusion pipeline where round 3 spent 5P per scale in four
+    separate ops.
+
+    Args:
+      points: [P, 4] payload rows (x, y, z, gidx), host-sorted order.
+      ranks: [S, P] int32 per-scale in-cell ranks (-1 == invalid),
+        from dcf.data.preprocess.fusion_host_arrays.
+      cell_sizes: S per-scale cell sizes (metres).
+      grids: S per-scale (H, W) pairs.
+
+    Returns:
+      list of S [_D, capacity, RP_s, WP_s] float32 plane arrays.
+    """
+    P, D = points.shape
+    assert D == 4, D
+    assert P <= 0xFFFE, P                # gidx + 1 must fit 16 bits
+    C = capacity
+    S = len(grids)
+    assert ranks.shape[0] == S, (ranks.shape, S)
+    shapes, sizes = [], []
+    for (H, W) in grids:
+        _, _, _, WP, RP = _plane_geometry(H, W, r, tile_rows)
+        shapes.append((RP, WP))
+        sizes.append(_D * C * RP * WP)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    total = int(offs[-1])
+
+    pzg = _pack_zg(points[:, 2],
+                   points[:, 3].astype(jnp.int32) + 1)          # shared
+    iota = jnp.arange(P, dtype=jnp.int32)
+    idx_parts, val_parts = [], []
+    for s, ((H, W), cell) in enumerate(zip(grids, cell_sizes)):
+        RP, WP = shapes[s]
+        plane = C * RP * WP
+        rank = ranks[s]
+        ix = jnp.floor((points[:, 0] - origin[0]) / cell).astype(jnp.int32)
+        iy = jnp.floor((points[:, 1] - origin[1]) / cell).astype(jnp.int32)
+        ok = (rank >= 0) & (rank < C)
+        ccx = origin[0] + (ix.astype(jnp.float32) + 0.5) * cell
+        ccy = origin[1] + (iy.astype(jnp.float32) + 0.5) * cell
+        pxy = _pack_xy(points[:, 0] - ccx, points[:, 1] - ccy)
+        spatial = int(offs[s]) + (rank * RP + ix + r) * WP + (iy + r)
+        # dropped updates get distinct indices past the buffer end so
+        # unique_indices holds (mode="drop" discards them)
+        drop = total + (2 * s) * P + iota
+        idx_parts.append(jnp.where(ok, spatial, drop))
+        idx_parts.append(jnp.where(ok, spatial + plane, drop + P))
+        val_parts.append(pxy)
+        val_parts.append(pzg)
+    idx = jnp.concatenate(idx_parts)                     # [_D * S * P]
+    vals = jnp.concatenate(val_parts)
+    flat = jnp.zeros((total,), jnp.float32)
+    flat = flat.at[idx].set(vals, mode="drop", unique_indices=True)
+    return [flat[int(offs[s]):int(offs[s + 1])]
+            .reshape(_D, C, shapes[s][0], shapes[s][1])
+            for s in range(S)]
+
+
+def _pack_payload(spoints, ix, iy, origin, cell_size):
+    """[P, 4] raw payload -> the two packed plane words (_D layout note).
+
+    The cell-center subtraction uses the twin's exact f32 formula so the
+    kernel's center + offset reconstruction is bit-identical."""
+    ccx = origin[0] + (ix.astype(jnp.float32) + 0.5) * cell_size
+    ccy = origin[1] + (iy.astype(jnp.float32) + 0.5) * cell_size
+    pxy = _pack_xy(spoints[:, 0] - ccx, spoints[:, 1] - ccy)    # [P]
+    pzg = _pack_zg(spoints[:, 2],
+                   spoints[:, 3].astype(jnp.int32) + 1)         # [P]
+    return pxy, pzg
+
+
+def _scatter_planes(spoints, ok, rank, ix, iy, C, RP, WP, D, P, r,
+                    origin, cell_size):
     """One flat unique-indices scatter of all payload fields into the
-    kernel's [_D, C, RP, WP] plane layout; plane 2 packs (bf16 z |
-    gidx + 1), 0 marking empty slots -- see the _D layout note -- so
-    neither z nor validity costs its own plane: _D*P updates instead of
-    (D+1)*P."""
+    kernel's [_D, C, RP, WP] plane layout; plane 0 packs the bf16
+    cell-center offsets (dx | dy), plane 1 packs (bf16 z | gidx + 1)
+    with 0 marking empty slots -- see the _D layout note -- so the
+    whole 4-field payload + validity costs _D*P == 2P updates instead
+    of 5P."""
     assert D == 4, D                     # payload rows: x, y, z, gidx
     assert P <= 0xFFFE, P                # gidx + 1 must fit 16 bits
     # spatial offset of the point's cell inside one [RP, WP] plane
-    spatial = (rank * RP + six) * WP + siy                      # [P]
+    spatial = (rank * RP + ix + r) * WP + (iy + r)              # [P]
     plane = C * RP * WP
     iota = jnp.arange(P, dtype=jnp.int32)
     base = jnp.where(ok, spatial, _D * plane + iota)            # drop slot
-    packed = _pack_zg(spoints[:, 2],
-                      spoints[:, 3].astype(jnp.int32) + 1)      # [P]
-    pay = jnp.concatenate([spoints[:, :2], packed[:, None]], axis=1)
-    vals = pay.T.reshape(-1)                                    # [_D * P]
+    pxy, pzg = _pack_payload(spoints, ix, iy, origin, cell_size)
+    vals = jnp.concatenate([pxy, pzg])                          # [_D * P]
     idx = (base[None, :]
            + plane * jnp.arange(_D, dtype=jnp.int32)[:, None]
            ).reshape(-1)                                        # [_D * P]
@@ -323,11 +450,13 @@ def _coarse_rank_presorted(points, mask, origin, cell_size, grid_hw,
 
 
 def build_planes(bins: DenseBins, r: int, tile_rows: int,
+                 origin, cell_size: float,
                  num_points: int | None = None) -> jnp.ndarray:
-    """[B, H, W, C, 4] bins -> [B, _D, C, RP, WP] field planes (plane 2
-    packs (bf16 z | (gidx + 1) * valid), 0 marking empty slots -- see
-    the _D layout note), zero-padded r rows/cols top/left, aligned
-    slack elsewhere.
+    """[B, H, W, C, 4] bins -> [B, _D, C, RP, WP] field planes (plane 0
+    packs the bf16 cell-center offsets (dx | dy), plane 1 packs
+    (bf16 z | (gidx + 1) * valid) with 0 marking empty slots -- see the
+    _D layout note), zero-padded r rows/cols top/left, aligned slack
+    elsewhere.
 
     num_points, when the caller knows it, bounds the gidx payload: the
     pack keeps only the low 16 bits, so gidx + 1 must fit (mirrors the
@@ -338,14 +467,21 @@ def build_planes(bins: DenseBins, r: int, tile_rows: int,
     if num_points is not None:
         assert num_points <= 0xFFFE, num_points  # gidx + 1 must fit 16 bits
     TH, H_eff, TS, WP, RP = _plane_geometry(H, W, r, tile_rows)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ccx = (origin[0] + (rows.astype(jnp.float32) + 0.5)
+           * cell_size)[..., None]                            # [H, W, 1]
+    ccy = (origin[1] + (cols.astype(jnp.float32) + 0.5)
+           * cell_size)[..., None]
+    pxy = _pack_xy(bins.data[..., 0].astype(jnp.float32) - ccx,
+                   bins.data[..., 1].astype(jnp.float32) - ccy)
+    pxy = jnp.where(bins.valid, pxy, 0.0)
     gp1 = ((bins.data[..., 3].astype(jnp.int32) + 1)
            * bins.valid.astype(jnp.int32))                    # [B, H, W, C]
     packed = _pack_zg(bins.data[..., 2].astype(jnp.float32), gp1)
     # empty slots must be all-zero words (validity == low 16 bits)
     packed = jnp.where(bins.valid, packed, 0.0)
-    data = jnp.concatenate(
-        [bins.data[..., :2].astype(jnp.float32), packed[..., None]],
-        axis=-1)
+    data = jnp.stack([pxy, packed], axis=-1)
     planes = jnp.transpose(data, (0, 4, 3, 1, 2))
     return jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (r, RP - H - r),
                             (r, WP - W - r)))
@@ -380,10 +516,27 @@ def slab_starts(fine_row: jnp.ndarray, num_slabs: int, tile_rows: int,
     return starts, overflow
 
 
-def fusion_windows(fine_row: jnp.ndarray, num_slabs: int, tile_rows: int,
+def fine_row_cum(fine_row: jnp.ndarray, Hf: int) -> jnp.ndarray:
+    """Cumulative histogram of the (sorted) fine rows: cum[x] == #points
+    with fine_row < x, for x in [0, Hf].
+
+    This is the only O(P) work in `fusion_windows`, and it is
+    scale-INVARIANT (scales differ only in where they read the cumsum),
+    so the detector computes it once and shares it across every fusion
+    scale -- or ships it precomputed from the host
+    (dcf.data.preprocess.fusion_host_arrays' "fusion_row_cum")."""
+    hist = jnp.zeros((Hf,), jnp.int32).at[fine_row].add(
+        1, mode="drop", indices_are_sorted=True)
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(hist)])
+
+
+def fusion_windows(fine_row: jnp.ndarray | None, num_slabs: int,
+                   tile_rows: int,
                    r: int, row_ratio: int, capz: int, capr: int,
-                   p_pad: int) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                        jnp.ndarray]:
+                   p_pad: int, cum: jnp.ndarray | None = None
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                              jnp.ndarray]:
     """Slab starts + per-ROW z1 window offsets, via one cumulative
     histogram of the sorted fine rows (O(P), no [rows, P] compare).
 
@@ -403,16 +556,18 @@ def fusion_windows(fine_row: jnp.ndarray, num_slabs: int, tile_rows: int,
         RELATIVE to the row's slab start, multiples of 128, clipped to
         [0, capz - capr] (the window always lies inside the slab).
       overflow: [num_slabs * tile_rows] int32 dropped-pair counts.
+
+    `cum`, when given, is a precomputed `fine_row_cum` (possibly longer
+    than this scale's Hf + 1 -- valid because real fine rows are always
+    < every scale's Hf, so the tail is flat) and fine_row may be None.
     """
     H_eff = num_slabs * tile_rows
     Hf = H_eff * row_ratio
-    # fine_row is sorted (points are fine-cell row-major sorted; the
-    # invalid sentinel lands past Hf and drops from the histogram), so
-    # #points with fine_row < x == cum[x]
-    hist = jnp.zeros((Hf,), jnp.int32).at[fine_row].add(
-        1, mode="drop", indices_are_sorted=True)
-    cum = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(hist)])
+    if cum is None:
+        # fine_row is sorted (points are fine-cell row-major sorted;
+        # the invalid sentinel lands past Hf and drops from the
+        # histogram), so #points with fine_row < x == cum[x]
+        cum = fine_row_cum(fine_row, Hf)
 
     def below(x):
         return cum[jnp.clip(x, 0, Hf)]
@@ -441,40 +596,79 @@ def _valid16(w):
     return (pltpu.bitcast(w, jnp.uint32) & 0xFFFF) > 0
 
 
-def _cascade_onepass(scr, cx, cy, *, TH, C, K, r):
+# in-cascade payload fields carried per selected neighbor: the pixel-
+# relative offsets (ddx, ddy) -- already reconstructed from the packed
+# plane, they ARE the geo-MLP's first two inputs -- plus the packed
+# (bf16 z | gidx + 1) word
+_F = 3
+
+
+def _unpack_candidate(sxy, szg, cx, cy, ccx, ccy):
+    """Packed candidate planes (rolled, [TH, WP]) -> (validity,
+    pixel-relative ddx/ddy, the zg word).
+
+    Reconstruction is exact-parity-critical: absolute position ==
+    cell_center + bf16 offset with the twin's f32 formula (cell centers
+    ccx/ccy are precomputed per roll shift), then ddx = pos - cx exactly
+    as knn_select_dense computes it."""
+    v = _valid16(szg)
+    bits = pltpu.bitcast(sxy, jnp.uint32)
+    dxq = pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    dyq = pltpu.bitcast(bits << 16, jnp.float32)
+    ddx = (ccx + dxq) - cx
+    ddy = (ccy + dyq) - cy
+    return v, ddx, ddy
+
+
+def _shift_centers(cx, cy, TH, r, win, origin, cell_size, ti):
+    """Per-roll-shift candidate cell centers: ccx[di], ccy[dj], each
+    [TH, WP] f32 built with the twin's exact center formula (the
+    candidate at shift (di, dj) of pixel (i, j) sits in grid cell
+    (i + di - r, j + dj - r))."""
+    WP = cx.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TH, WP), 0) + ti * TH
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TH, WP), 1)
+    ccx = [origin[0] + ((rows + (di - r)).astype(jnp.float32) + 0.5)
+           * cell_size for di in range(win)]
+    ccy = [origin[1] + ((cols + (dj - r)).astype(jnp.float32) + 0.5)
+           * cell_size for dj in range(win)]
+    return ccx, ccy
+
+
+def _cascade_onepass(scr, cx, cy, ccx, ccy, *, TH, C, K, r):
     """Classic streaming KNN insertion cascade (knn_kernel.py scheme):
     every candidate runs the full K-deep compare/swap chain over all
-    _D fields. 2K + K*_D (TH, WP) arrays stay live across the whole
-    candidate loop. Validity comes from field 2's packed low 16 bits
-    (gidx + 1 > 0 -- the packed layout, see the _D note)."""
+    _F payload fields. 2K + K*_F (TH, WP) arrays stay live across the
+    whole candidate loop. Validity comes from the zg plane's packed low
+    16 bits (gidx + 1 > 0 -- the packed layout, see the _D note)."""
     WP = cx.shape[1]
     top_d = [jnp.full((TH, WP), _BIG, jnp.float32) for _ in range(K)]
-    top_p = [[jnp.zeros((TH, WP), jnp.float32) for _ in range(_D)]
+    top_p = [[jnp.zeros((TH, WP), jnp.float32) for _ in range(_F)]
              for _ in range(K)]
     win = 2 * r + 1
     for c in range(C):
-        fields = [scr[f, c] for f in range(_D)]
+        fxy, fzg = scr[0, c], scr[1, c]
         for di in range(win):
             for dj in range(win):
-                sh = [_roll2(f, di, dj)[:TH, :] for f in fields]
-                v = _valid16(sh[2])
-                ddx = sh[0] - cx
-                ddy = sh[1] - cy
+                sxy = _roll2(fxy, di, dj)[:TH, :]
+                szg = _roll2(fzg, di, dj)[:TH, :]
+                v, ddx, ddy = _unpack_candidate(sxy, szg, cx, cy,
+                                                ccx[di], ccy[dj])
                 d = jnp.where(v, ddx * ddx + ddy * ddy, jnp.float32(_BIG))
-                p = sh[:_D]
+                p = [ddx, ddy, szg]
                 for k in range(K):
                     closer = d < top_d[k]
                     new_d = jnp.minimum(d, top_d[k])
                     d = jnp.maximum(d, top_d[k])
                     top_d[k] = new_d
-                    for f in range(_D):
+                    for f in range(_F):
                         new_f = jnp.where(closer, p[f], top_p[k][f])
                         p[f] = jnp.where(closer, top_p[k][f], p[f])
                         top_p[k][f] = new_f
     return top_d, top_p
 
 
-def _cascade_twopass(scr, cx, cy, *, TH, C, K, r, SG):
+def _cascade_twopass(scr, cx, cy, ccx, ccy, *, TH, C, K, r, SG):
     """Two-pass KNN selection with bounded live state (register-pressure
     variant of `_cascade_onepass`; selects the IDENTICAL point set).
 
@@ -510,12 +704,13 @@ def _cascade_twopass(scr, cx, cy, *, TH, C, K, r, SG):
              for _ in range(K)]
     idx = 0
     for c in range(C):
-        fx, fy, fpk = scr[0, c], scr[1, c], scr[2, c]
+        fxy, fzg = scr[0, c], scr[1, c]
         for di in range(win):
             for dj in range(win):
-                v = _valid16(_roll2(fpk, di, dj)[:TH, :])
-                ddx = _roll2(fx, di, dj)[:TH, :] - cx
-                ddy = _roll2(fy, di, dj)[:TH, :] - cy
+                sxy = _roll2(fxy, di, dj)[:TH, :]
+                szg = _roll2(fzg, di, dj)[:TH, :]
+                v, ddx, ddy = _unpack_candidate(sxy, szg, cx, cy,
+                                                ccx[di], ccy[dj])
                 d = jnp.where(v, ddx * ddx + ddy * ddy, jnp.float32(_BIG))
                 i = jnp.full((TH, WP), jnp.float32(idx))
                 for k in range(K):
@@ -532,31 +727,32 @@ def _cascade_twopass(scr, cx, cy, *, TH, C, K, r, SG):
 
     # pass 2: slot placement, SG slots per sweep
     out_d = [None] * K
-    out_p = [[None] * _D for _ in range(K)]
+    out_p = [[None] * _F for _ in range(K)]
     for k0 in range(0, K, SG):
         ks = range(k0, min(k0 + SG, K))
         sd = {k: jnp.full((TH, WP), _BIG, jnp.float32) for k in ks}
-        sp = {k: [jnp.zeros((TH, WP), jnp.float32) for _ in range(_D)]
+        sp = {k: [jnp.zeros((TH, WP), jnp.float32) for _ in range(_F)]
               for k in ks}
         cnt = jnp.zeros((TH, WP), jnp.float32)
         idx = 0
         for c in range(C):
-            fields = [scr[f, c] for f in range(_D)]
+            fxy, fzg = scr[0, c], scr[1, c]
             for di in range(win):
                 for dj in range(win):
-                    sh = [_roll2(f, di, dj)[:TH, :] for f in fields]
-                    v = _valid16(sh[2])
-                    ddx = sh[0] - cx
-                    ddy = sh[1] - cy
+                    sxy = _roll2(fxy, di, dj)[:TH, :]
+                    szg = _roll2(fzg, di, dj)[:TH, :]
+                    v, ddx, ddy = _unpack_candidate(sxy, szg, cx, cy,
+                                                    ccx[di], ccy[dj])
                     d = jnp.where(v, ddx * ddx + ddy * ddy,
                                   jnp.float32(_BIG))
+                    sh = [ddx, ddy, szg]
                     accept = (d < kd) | ((d == kd)
                                          & (ki >= jnp.float32(idx))
                                          & (d < _BIG))
                     for k in ks:
                         take = accept & (cnt == jnp.float32(k))
                         sd[k] = jnp.where(take, d, sd[k])
-                        for f in range(_D):
+                        for f in range(_F):
                             sp[k][f] = jnp.where(take, sh[f], sp[k][f])
                     cnt = cnt + accept.astype(jnp.float32)
                     idx += 1
@@ -590,26 +786,24 @@ def _fwd_kernel(starts_ref, rstarts_ref, planes_hbm, z1t_hbm, wsmall_ref,
     cols = jax.lax.broadcasted_iota(jnp.int32, (TH, WP), 1)
     cx = origin[0] + (rows.astype(jnp.float32) + 0.5) * cell_size
     cy = origin[1] + (cols.astype(jnp.float32) + 0.5) * cell_size
+    ccx, ccy = _shift_centers(cx, cy, TH, r, 2 * r + 1, origin,
+                              cell_size, ti)
 
     if CASCADE == "twopass":
-        top_d, top_p = _cascade_twopass(scr, cx, cy, TH=TH, C=C, K=K,
-                                        r=r, SG=SG)
+        top_d, top_p = _cascade_twopass(scr, cx, cy, ccx, ccy, TH=TH,
+                                        C=C, K=K, r=r, SG=SG)
     else:
-        top_d, top_p = _cascade_onepass(scr, cx, cy, TH=TH, C=C, K=K, r=r)
+        top_d, top_p = _cascade_onepass(scr, cx, cy, ccx, ccy, TH=TH,
+                                        C=C, K=K, r=r)
 
     # fused per-row MLP: one-hot select z1 (MXU) + geometric projection.
-    # cx is constant per row (scalar); cy needs a direct (1, W) iota --
-    # row-slicing the (TH, WP) iota planes above crashes the Mosaic
-    # compiler (array.h bounds CHECK), and the planes are only needed at
-    # full width by the cascade anyway.
+    # The cascade's payload already carries the pixel-relative offsets
+    # (ddx, ddy) -- the geo MLP's first two inputs -- so no center
+    # subtraction happens here.
     iota_cr = jax.lax.broadcasted_iota(jnp.int32, (CAPR, W), 0)
-    cyr = origin[1] + (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-                       .astype(jnp.float32) + 0.5) * cell_size
     for rr in range(TH):
         acc = jnp.zeros((HID, W), jnp.float32)
         cnt = jnp.zeros((1, W), jnp.float32)
-        cxr = (origin[0]
-               + ((ti * TH + rr).astype(jnp.float32) + 0.5) * cell_size)
         # per-ROW z1 window: this row's neighbors live in a capr-point
         # range of the slab (fusion_windows), so the one-hot select runs
         # CAPR wide instead of CAPZ wide (~(TH+2r)/(1+2r) x fewer MXU
@@ -633,8 +827,8 @@ def _fwd_kernel(starts_ref, rstarts_ref, planes_hbm, z1t_hbm, wsmall_ref,
             z1sel = jax.lax.dot_general(
                 slab_r, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # [HID, W]
-            geo = (top_p[k][0][rr:rr + 1, :W] - cxr,
-                   top_p[k][1][rr:rr + 1, :W] - cyr,
+            geo = (top_p[k][0][rr:rr + 1, :W],
+                   top_p[k][1][rr:rr + 1, :W],
                    pz,
                    jnp.sqrt(jnp.minimum(d_r, 1e6)))
             # geometric projection on the VPU: 4 broadcast FMAs beat a
@@ -649,8 +843,9 @@ def _fwd_kernel(starts_ref, rstarts_ref, planes_hbm, z1t_hbm, wsmall_ref,
         out_ref[0, HID:HID + 1, rr, :] = cnt
         if STASH:
             # stash the cascade's selections for the backward (training
-            # path): per k, (px, py, packed(z | gidx + 1), d2) as 4
-            # extra channels. The backward then skips the planes DMA
+            # path): per k, (ddx, ddy, packed(z | gidx + 1), d2) as 4
+            # extra channels (ddx/ddy pixel-relative, i.e. the geo MLP
+            # inputs directly). The backward then skips the planes DMA
             # and the whole KNN cascade recompute.
             for k in range(K):
                 base = HID + 1 + 4 * k
@@ -692,13 +887,9 @@ def _bwd_kernel(starts_ref, rstarts_ref, z1t_hbm, wsmall_ref, dacc_ref,
 
     dz1_ref[0, 0] = jnp.zeros((HID, CAPZ), jnp.float32)
     iota_cr = jax.lax.broadcasted_iota(jnp.int32, (CAPR, W), 0)
-    cyr = origin[1] + (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-                       .astype(jnp.float32) + 0.5) * cell_size
     dsm = [jnp.zeros((HID, 1), jnp.float32) for _ in range(5)]
     for rr in range(TH):
         da = dacc_ref[0, :, rr, :]                            # [HID, W]
-        cxr = (origin[0]
-               + ((ti * TH + rr).astype(jnp.float32) + 0.5) * cell_size)
         roff = rstarts_ref[b, ti * TH + rr]
         roff = pl.multiple_of(roff, 128)
         slab_r = z1scr[:, pl.ds(roff, CAPR)]                  # [HID, CAPR]
@@ -723,7 +914,7 @@ def _bwd_kernel(starts_ref, rstarts_ref, z1t_hbm, wsmall_ref, dacc_ref,
             z1sel = jax.lax.dot_general(
                 slab_r, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # [HID, W]
-            geo = (px - cxr, py - cyr, pz,
+            geo = (px, py, pz,
                    jnp.sqrt(jnp.minimum(d_r, 1e6)))
             g1 = wsmall_ref[:, 4:5]
             for f in range(4):
@@ -953,8 +1144,8 @@ def fused_fusion(bins: DenseBins, z1t: jnp.ndarray, starts: jnp.ndarray,
     """
     B, H, W, C, D = bins.data.shape
     assert D == 4, f"payload must be (x, y, z, gidx), got D={D}"
-    planes = build_planes(bins, radius_cells, tile_rows,
-                          num_points=z1t.shape[1])
+    planes = build_planes(bins, radius_cells, tile_rows, origin,
+                          cell_size, num_points=z1t.shape[1])
     # convenience wrapper (tests / twin parity): fused_fusion_planes
     # takes the kernel's feature-major layout
     z1t = jnp.transpose(z1t, (0, 2, 1))
@@ -1010,11 +1201,17 @@ def fused_fusion_reference(bins: DenseBins, z1: jnp.ndarray,
     as the kernel's capz never overflows, which `slab_starts` reports).
 
     z1 here is the *untransposed* [B, P, hid] table.
+
+    x/y/z ride the kernel's packed bf16 planes (the _D layout note);
+    the twin applies the identical quantization (quantize_payload_xyz)
+    BEFORE the KNN so selection, geo features, and outputs match the
+    kernel exactly.
     """
     B, H, W, C, D = bins.data.shape
     hid = z1.shape[-1]
 
     def one(data, valid, z1_b):
+        data = quantize_payload_xyz(data, origin, cell_size)
         nbr, nvalid, d2 = knn_select_dense(
             DenseBins(data, valid), origin, cell_size, k, radius_cells)
         nbr = nbr.reshape(H * W, k, D)
@@ -1027,11 +1224,10 @@ def fused_fusion_reference(bins: DenseBins, z1: jnp.ndarray,
         cx = origin[0] + (rows.astype(jnp.float32) + 0.5) * cell_size
         cy = origin[1] + (cols.astype(jnp.float32) + 0.5) * cell_size
         cxy = jnp.stack([cx, cy], -1).reshape(H * W, 1, 2)
-        # z rides the packed plane as bf16 in the kernel (_pack_zg); the
-        # twin quantizes identically so kernel-vs-twin parity is exact.
-        zq = nbr[..., 2:3].astype(jnp.bfloat16).astype(jnp.float32)
+        # x/y/z were already quantized through quantize_payload_xyz
+        # above, matching the kernel's packed planes bit-for-bit
         geo = jnp.concatenate(
-            [nbr[..., :2] - cxy, zq,
+            [nbr[..., :2] - cxy, nbr[..., 2:3],
              jnp.sqrt(jnp.minimum(d2, 1e6))[..., None]], axis=-1)  # [HW,k,4]
 
         z1g = z1_b[idx].astype(jnp.float32)                   # [HW, k, hid]

@@ -180,10 +180,34 @@ def _fusion_layer(points: np.ndarray, mask: np.ndarray, v2i: np.ndarray,
 
     # binning with per-cell capacity, insertion by point order (the
     # model feeds fine-grid-sorted points; the caller passes them in
-    # that same order so capacity eviction matches)
+    # that same order so capacity eviction matches). Binning uses the
+    # RAW coordinates; the payload consumed by distances/geo features is
+    # quantized below, mirroring the packed-plane layout
+    # (fusion_kernel's _D note / quantize_payload_xyz: x/y rounded
+    # through bf16 relative to the point's own cell center, z through
+    # plain bf16, all in f32 arithmetic).
     ix = torch.floor((pts[:, 0] - vox.x_min) / cell).long()
     iy = torch.floor((pts[:, 1] - vox.y_min) / cell).long()
     inb = img_ok & (ix >= 0) & (ix < H) & (iy >= 0) & (iy < W)
+
+    import ml_dtypes
+    p32 = points[:, :3].astype(np.float32)
+    ix32 = np.floor((p32[:, 0] - np.float32(vox.x_min))
+                    / np.float32(cell)).astype(np.int32)
+    iy32 = np.floor((p32[:, 1] - np.float32(vox.y_min))
+                    / np.float32(cell)).astype(np.int32)
+    ccx = np.float32(vox.x_min) + (ix32.astype(np.float32) + 0.5) \
+        * np.float32(cell)
+    ccy = np.float32(vox.y_min) + (iy32.astype(np.float32) + 0.5) \
+        * np.float32(cell)
+
+    def _bf16(v):
+        return v.astype(ml_dtypes.bfloat16).astype(np.float32)
+
+    ptsq = torch.as_tensor(np.stack(
+        [ccx + _bf16(p32[:, 0] - ccx),
+         ccy + _bf16(p32[:, 1] - ccy),
+         _bf16(p32[:, 2])], axis=-1), dtype=DT)
     cells: Dict[int, list] = {}
     for i in torch.nonzero(inb).flatten().tolist():
         c = int(ix[i]) * W + int(iy[i])
@@ -208,11 +232,11 @@ def _fusion_layer(points: np.ndarray, mask: np.ndarray, v2i: np.ndarray,
             if not cand:
                 continue
             cxy = torch.tensor([cx, cy], dtype=DT)
-            d2 = ((pts[cand, :2] - cxy) ** 2).sum(-1)
+            d2 = ((ptsq[cand, :2] - cxy) ** 2).sum(-1)
             order = torch.argsort(d2, stable=True)[:K]
             sel = [cand[int(o)] for o in order]
             geo = torch.cat(
-                [pts[sel, :2] - cxy, pts[sel, 2:3],
+                [ptsq[sel, :2] - cxy, ptsq[sel, 2:3],
                  torch.sqrt(torch.clamp(d2[order], max=1e6))[:, None]],
                 dim=-1)                               # [k, 4]
             h = TF.relu(z1[sel] + geo @ w_geo + b_geo)

@@ -117,6 +117,16 @@ class TestForward:
         The flagship default (FusionConfig.host_sorted_points) moves the
         fine-grid sort into frame_to_example; the detector must produce
         bit-identical predictions either way on the same frame.
+
+        The host-computed batch keys (uvz/ranks/row_cum) are stripped
+        from BOTH sides so this isolates the SORT lever: with them only
+        on one side the two jit graphs differ structurally, and XLA's
+        per-graph FMA-contraction choices flip a handful of
+        bf16-rounding-boundary bilinear samples (observed 6/65536
+        elements at one bf16 ulp) -- a compiler artifact, not a model
+        difference. The host-array keys have their own parity tests
+        (test_host_binned_ranks_parity, test_host_uvz_matches_device,
+        test_host_row_cum_matches_device).
         """
         import dataclasses
         frame = make_frame(seed=3)
@@ -126,10 +136,13 @@ class TestForward:
             cfg_on, fusion=dataclasses.replace(
                 cfg_on.fusion, host_sorted_points=False))
 
+        host_keys = ("points_uvz", "fusion_rank", "fusion_row_cum")
         b_on = {k: jnp.asarray(v) for k, v in stack_examples(
-            [frame_to_example(frame, cfg_on)]).items()}
+            [frame_to_example(frame, cfg_on)]).items()
+            if k not in host_keys}
         b_off = {k: jnp.asarray(v) for k, v in stack_examples(
-            [frame_to_example(frame, cfg_off)]).items()}
+            [frame_to_example(frame, cfg_off)]).items()
+            if k not in host_keys}
         # host sort only reorders the padded cloud
         assert not np.array_equal(np.asarray(b_on["points"]),
                                   np.asarray(b_off["points"]))
@@ -203,6 +216,43 @@ class TestForward:
         for k in p_on:
             np.testing.assert_array_equal(np.asarray(p_on[k]),
                                           np.asarray(p_off[k]), err_msg=k)
+
+    def test_host_uvz_matches_device(self):
+        """Host-projected points_uvz == the jitted device projection,
+        bit-for-bit (numpy f32 sgemm vs XLA:CPU Precision.HIGHEST dot
+        -- the precision note in dcf.geometry.transforms
+        .project_velo_to_image)."""
+        from dcf.data.synthetic import make_varied_frame
+        from dcf.geometry.transforms import project_velo_to_image
+        cfg = tiny_config(with_fusion=True)
+        fn = jax.jit(lambda p, m: project_velo_to_image(p[:, :3], m))
+        for seed in (0, 4, 11):
+            ex = frame_to_example(make_varied_frame(seed=seed), cfg)
+            dev = fn(jnp.asarray(ex["points"]),
+                     jnp.asarray(ex["velo_to_image"]))
+            np.testing.assert_array_equal(ex["points_uvz"],
+                                          np.asarray(dev))
+
+    def test_host_row_cum_matches_device(self):
+        """The host-shipped fusion_row_cum must equal the on-device
+        fine_row_cum(fine_rows_for_fusion(...)) exactly (the device
+        consumes whichever is present; they must be interchangeable)."""
+        from dcf.data.synthetic import make_varied_frame
+        from dcf.models.fusion import (fine_rows_for_fusion,
+                                       fusion_row_cum_len)
+        from dcf.ops.pallas.fusion_kernel import fine_row_cum
+        cfg = tiny_config(with_fusion=True)
+        L = fusion_row_cum_len(cfg)
+        for seed in (0, 3, 9):
+            ex = frame_to_example(make_varied_frame(seed=seed), cfg)
+            host = ex["fusion_row_cum"]
+            assert host.shape == (L,)
+            fr = fine_rows_for_fusion(
+                jnp.asarray(ex["points"])[None],
+                jnp.asarray(ex["point_mask"])[None], cfg.voxel,
+                min(cfg.backbone.fusion_strides))
+            dev = fine_row_cum(fr[0], L - 1)
+            np.testing.assert_array_equal(host, np.asarray(dev))
 
 
 class TestStaticShapes:

@@ -361,10 +361,51 @@ class TestBinPointsPlanes:
         bins = bin_points_dense(jnp.asarray(pts), jnp.asarray(mask),
                                 (0.0, 0.0), 1.0, (H, W), C)
         ref = build_planes(jax.tree.map(lambda x: x[None], bins), r,
-                           tile_rows)[0]
+                           tile_rows, (0.0, 0.0), 1.0)[0]
         got = bin_points_planes(jnp.asarray(pts), jnp.asarray(mask),
                                 (0.0, 0.0), 1.0, (H, W), C, r, tile_rows)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_multi_scale_scatter_matches_per_scale(self, rng):
+        """The one fused multi-scale scatter must equal per-scale
+        bin_points_planes_ranked bit-for-bit at every scale."""
+        from dcf.ops.pallas.fusion_kernel import (bin_points_planes_multi,
+                                                  bin_points_planes_ranked)
+        grids = [(24, 130), (12, 65), (6, 33)]
+        cells = [1.0, 2.0, 4.0]
+        C, r, tile_rows = 3, 1, 8
+        P = 700
+        pts = np.zeros((P, 4), np.float32)
+        pts[:, 0] = rng.uniform(-2, 26, P)
+        pts[:, 1] = rng.uniform(-2, 132, P)
+        pts[:, 2] = rng.uniform(-2, 2, P)
+        pts[:, 3] = np.arange(P)
+        # host-style per-scale ranks: stable rank within each scale's
+        # cell among that scale's valid points
+        ranks = np.full((len(grids), P), -1, np.int32)
+        for s, ((H, W), cell) in enumerate(zip(grids, cells)):
+            ok = rng.uniform(size=P) < 0.85
+            ix = np.floor(pts[:, 0] / cell).astype(np.int64)
+            iy = np.floor(pts[:, 1] / cell).astype(np.int64)
+            ok &= (ix >= 0) & (ix < H) & (iy >= 0) & (iy < W)
+            cid = np.where(ok, ix * W + iy, H * W)
+            order = np.argsort(cid, kind="stable")
+            sc = cid[order]
+            start = np.r_[True, sc[1:] != sc[:-1]]
+            run_start = np.maximum.accumulate(
+                np.where(start, np.arange(P), 0))
+            rk = np.arange(P) - run_start
+            vs = ok[order]
+            ranks[s, order[vs]] = rk[vs]
+        got = bin_points_planes_multi(
+            jnp.asarray(pts), jnp.asarray(ranks), (0.0, 0.0), cells,
+            grids, C, r, tile_rows)
+        for s, ((H, W), cell) in enumerate(zip(grids, cells)):
+            ref = bin_points_planes_ranked(
+                jnp.asarray(pts), jnp.asarray(ranks[s]), (0.0, 0.0),
+                cell, (H, W), C, r, tile_rows)
+            np.testing.assert_array_equal(np.asarray(got[s]),
+                                          np.asarray(ref), err_msg=str(s))
 
     @pytest.mark.parametrize("rho", [2, 4])
     def test_coarse_rank_matches_argsort_path(self, rng, rho):
