@@ -18,11 +18,10 @@ from dcf.data.kitti import Frame
 from dcf.data.voxelize import crop_and_pad
 
 
-def prepare_image(image: np.ndarray, cfg: Config):
-    """Letterbox `image` into (cfg.image.height, cfg.image.width).
-
-    Returns (image_f32 [H, W, 3] in [0,1], scale factor applied).
-    """
+def _resize_to_fit(image: np.ndarray, cfg: Config):
+    """Aspect-preserving resize into (cfg.image.height, cfg.image.width);
+    dtype-preserving (the native s2d path consumes the resized u8
+    directly). Returns (resized, scale)."""
     H, W = cfg.image.height, cfg.image.width
     h, w = image.shape[:2]
     scale = min(H / h, W / w)
@@ -30,11 +29,43 @@ def prepare_image(image: np.ndarray, cfg: Config):
         image = cv2.resize(image, (int(round(w * scale)),
                                    int(round(h * scale))),
                            interpolation=cv2.INTER_LINEAR)
+    return image, scale
+
+
+def prepare_image(image: np.ndarray, cfg: Config):
+    """Letterbox `image` into (cfg.image.height, cfg.image.width).
+
+    Returns (image_f32 [H, W, 3] in [0,1], scale factor applied).
+    """
+    H, W = cfg.image.height, cfg.image.width
+    image, scale = _resize_to_fit(image, cfg)
     h2, w2 = image.shape[:2]
     out = np.zeros((H, W, 3), np.float32)
     out[:min(h2, H), :min(w2, W)] = (
         image[:min(h2, H), :min(w2, W)].astype(np.float32) / 255.0)
     return out, scale
+
+
+def prepare_image_s2d(image: np.ndarray, cfg: Config):
+    """resize + normalize + letterbox + space-to-depth(4), fused in the
+    native core when available (one u8 -> f32 pass; /255 via an exact
+    IEEE-divide table, so bit-identical to prepare_image + s2d_image,
+    which remains the tested numpy twin/fallback).
+
+    Returns ([H/4, W/4, 48] f32, scale)."""
+    resized, scale = _resize_to_fit(image, cfg)
+    if resized.dtype == np.uint8:
+        from dcf import native
+        out = native.image_s2d_u8(resized, cfg.image.height,
+                                  cfg.image.width)
+        if out is not None:
+            return out, scale
+    H, W = cfg.image.height, cfg.image.width
+    h2, w2 = resized.shape[:2]
+    full = np.zeros((H, W, 3), np.float32)
+    full[:min(h2, H), :min(w2, W)] = (
+        resized[:min(h2, H), :min(w2, W)].astype(np.float32) / 255.0)
+    return s2d_image(full), scale
 
 
 def sort_points_host(points: np.ndarray, mask: np.ndarray, cfg: Config):
@@ -49,6 +80,12 @@ def sort_points_host(points: np.ndarray, mask: np.ndarray, cfg: Config):
     """
     vox = cfg.voxel
     fine = min(cfg.backbone.fusion_strides)
+    from dcf import native
+    res = native.sort_points_fine(points, mask, vox.x_min, vox.y_min,
+                                  vox.voxel_size, fine, vox.grid_x,
+                                  vox.grid_y)
+    if res is not None:                   # counting sort == stable argsort
+        return res
     Hf, Wf = vox.grid_x // fine, vox.grid_y // fine
     cell = np.float32(vox.voxel_size * fine)
     pts = points.astype(np.float32, copy=False)
@@ -93,10 +130,24 @@ def fusion_host_arrays(points: np.ndarray, mask: np.ndarray,
     # bit-for-bit on XLA:CPU (dcf.geometry.transforms
     # .project_velo_to_image's precision note)
     uvw = pts[:, :3] @ m[:, :3].T + m[:, 3]
-    depth = uvw[:, 2:3]
-    uv = (uvw[:, :2] / np.maximum(np.abs(depth), np.float32(1e-6))
-          * np.sign(depth))
-    uvz = np.concatenate([uv, depth], axis=-1).astype(np.float32)
+
+    from dcf import native
+    uvz = native.uvw_to_uvz(uvw)          # exact-IEEE twin of the chain
+    if uvz is None:
+        depth = uvw[:, 2:3]
+        uv = (uvw[:, :2] / np.maximum(np.abs(depth), np.float32(1e-6))
+              * np.sign(depth))
+        uvz = np.concatenate([uv, depth], axis=-1).astype(np.float32)
+
+    from dcf.models.fusion import fusion_row_cum_len as _rcl
+    res = native.fusion_ranks(
+        pts, mask, uvz, cfg.backbone.fusion_strides, vox.x_min,
+        vox.y_min, vox.voxel_size, vox.grid_x, vox.grid_y,
+        cfg.image.height, cfg.image.width, _rcl(cfg))
+    if res is not None:                   # bit-identical numpy twin below
+        return {"points_uvz": uvz, "fusion_rank": res[0],
+                "fusion_row_cum": res[1]}
+
     in_front = uvz[:, 2] > 0.1
 
     P = len(pts)
@@ -159,9 +210,10 @@ def frame_to_example(frame: Frame, cfg: Config, seed: int = 0
     points, mask = crop_and_pad(frame.points, cfg.voxel, seed=seed)
     if cfg.with_fusion and cfg.fusion.host_sorted_points:
         points, mask = sort_points_host(points, mask, cfg)
-    image, scale = prepare_image(frame.image, cfg)
     if cfg.with_camera and cfg.image.host_s2d:
-        image = s2d_image(image)
+        image, scale = prepare_image_s2d(frame.image, cfg)
+    else:
+        image, scale = prepare_image(frame.image, cfg)
     v2i = frame.calib.velo_to_image_matrix.copy()
     v2i[:2] *= scale                     # resize folded into projection
 

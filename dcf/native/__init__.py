@@ -27,8 +27,8 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", _LIB_PATH, _SRC],
+            ["g++", "-O3", "-march=native", "-ffp-contract=off",
+             "-shared", "-fPIC", "-o", _LIB_PATH, _SRC],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -65,6 +65,32 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_double)]
+        u8ptr = ctypes.POINTER(ctypes.c_uint8)
+        i32ptr = ctypes.POINTER(ctypes.c_int32)
+        lib.dcf_fusion_ranks.restype = None
+        lib.dcf_fusion_ranks.argtypes = [
+            ctypes.POINTER(ctypes.c_float), u8ptr,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            i32ptr, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32ptr, i32ptr]
+        lib.dcf_uvw_to_uvz.restype = None
+        lib.dcf_uvw_to_uvz.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.dcf_image_s2d_u8.restype = None
+        lib.dcf_image_s2d_u8.argtypes = [
+            u8ptr, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.dcf_sort_points_fine.restype = None
+        lib.dcf_sort_points_fine.argtypes = [
+            ctypes.POINTER(ctypes.c_float), u8ptr, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), u8ptr]
         lib.dcf_eval_statistics.restype = None
         lib.dcf_eval_statistics.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
@@ -184,6 +210,86 @@ def eval_statistics(overlaps, dt_scores, ignored_gt, ignored_det,
         tp.ctypes.data_as(iptr), fp.ctypes.data_as(iptr),
         fn.ctypes.data_as(iptr), _dptr(sim))
     return tp, fp, fn, sim
+
+
+def fusion_ranks(points: np.ndarray, mask: np.ndarray, uvz: np.ndarray,
+                 strides, x_min: float, y_min: float, voxel_size: float,
+                 grid_x: int, grid_y: int, img_h: int, img_w: int,
+                 L: int):
+    """Native per-scale fusion ranks + shared fine-row cum histogram.
+
+    Bit-identical to the numpy half of preprocess.fusion_host_arrays
+    (tested); returns (ranks [S, P] i32, row_cum [L] i32) or None when
+    the native lib is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    m = np.ascontiguousarray(mask, np.uint8)
+    u = np.ascontiguousarray(uvz, np.float32)
+    s = np.ascontiguousarray(strides, np.int32)
+    P = pts.shape[0]
+    S = len(s)
+    ranks = np.empty((S, P), np.int32)
+    row_cum = np.empty((L,), np.int32)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.dcf_fusion_ranks(
+        _fptr(pts), m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _fptr(u), P, s.ctypes.data_as(i32), S,
+        float(x_min), float(y_min), float(voxel_size),
+        int(grid_x), int(grid_y), int(img_h), int(img_w), int(L),
+        ranks.ctypes.data_as(i32), row_cum.ctypes.data_as(i32))
+    return ranks, row_cum
+
+
+def uvw_to_uvz(uvw: np.ndarray):
+    """Native perspective divide (exact twin of the numpy chain in
+    preprocess.fusion_host_arrays). Returns [P, 3] f32 or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(uvw, np.float32)
+    out = np.empty_like(w)
+    lib.dcf_uvw_to_uvz(_fptr(w), w.shape[0], _fptr(out))
+    return out
+
+
+def image_s2d_u8(image_u8: np.ndarray, H: int, W: int):
+    """Native fused u8 -> f32 letterbox + s2d(4). Returns
+    [H/4, W/4, 48] f32 or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(image_u8, np.uint8)
+    h2, w2 = img.shape[:2]
+    out = np.empty((H // 4, W // 4, 48), np.float32)
+    lib.dcf_image_s2d_u8(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h2, w2, int(H), int(W), _fptr(out))
+    return out
+
+
+def sort_points_fine(points: np.ndarray, mask: np.ndarray,
+                     x_min: float, y_min: float, voxel_size: float,
+                     fine: int, grid_x: int, grid_y: int):
+    """Native fine-grid counting sort (identical permutation to the
+    stable-argsort twin). Returns (points, mask) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    m = np.ascontiguousarray(mask, np.uint8)
+    P = pts.shape[0]
+    out = np.empty_like(pts)
+    om = np.empty((P,), np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.dcf_sort_points_fine(
+        _fptr(pts), m.ctypes.data_as(u8), P,
+        float(x_min), float(y_min), float(voxel_size),
+        int(fine), int(grid_x), int(grid_y),
+        _fptr(out), om.ctypes.data_as(u8))
+    return out, om.astype(bool)
 
 
 def iou_3d(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:

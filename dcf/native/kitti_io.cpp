@@ -229,4 +229,151 @@ void dcf_eval_statistics(const double* overlaps, int64_t n_det, int64_t n_gt,
   }
 }
 
+// Host half of the fusion binning (SURVEY.md D7; the numpy twin is
+// dcf/data/preprocess.py::fusion_host_arrays). Per-scale in-cell ranks by
+// arrival order + the shared fine-row cumulative histogram. The projection
+// (points_uvz) stays in numpy (BLAS sgemm, bit-matching the device dot);
+// this consumes it. All float arithmetic mirrors the numpy twin's f32
+// expressions exactly (compile with -ffp-contract=off so g++ cannot fuse
+// mul+add chains the twin evaluates as separate IEEE ops).
+//
+// pts: [P,4] f32 (host-sorted order), mask: [P] 0/1, uvz: [P,3] f32.
+// strides: [S] BEV fusion strides. ranks out: [S,P] i32 (-1 invalid).
+// row_cum out: [L] i32, cum[x] = #points with fine-grid row < x.
+void dcf_fusion_ranks(const float* pts, const uint8_t* mask,
+                      const float* uvz, int64_t P,
+                      const int32_t* strides, int64_t S,
+                      double x_min, double y_min, double voxel_size,
+                      int64_t grid_x, int64_t grid_y,
+                      int64_t img_h, int64_t img_w, int64_t L,
+                      int32_t* ranks, int32_t* row_cum) {
+  std::vector<int32_t> cnt;
+  for (int64_t si = 0; si < S; ++si) {
+    const int64_t s = strides[si];
+    const int64_t istride = std::min<int64_t>(2 * s, 32);
+    const int64_t Hi = img_h / istride, Wi = img_w / istride;
+    const int64_t H = grid_x / s, W = grid_y / s;
+    const float cell = (float)(voxel_size * (double)s);
+    const float xm = (float)x_min, ym = (float)y_min;
+    const float fis = (float)istride;
+    const float wlim = (float)(Wi - 1), hlim = (float)(Hi - 1);
+    cnt.assign((size_t)(H * W), 0);
+    int32_t* rk = ranks + si * P;
+    for (int64_t i = 0; i < P; ++i) {
+      rk[i] = -1;
+      if (!mask[i]) continue;
+      const float* q = uvz + i * 3;
+      if (!(q[2] > 0.1f)) continue;                     // in_front
+      const float u = q[0] / fis, v = q[1] / fis;
+      if (!(u >= 0.f && u <= wlim && v >= 0.f && v <= hlim)) continue;
+      const float* p = pts + i * 4;
+      const int64_t ix = (int64_t)std::floor((p[0] - xm) / cell);
+      const int64_t iy = (int64_t)std::floor((p[1] - ym) / cell);
+      if (ix < 0 || ix >= H || iy < 0 || iy >= W) continue;
+      rk[i] = cnt[(size_t)(ix * W + iy)]++;             // arrival rank
+    }
+  }
+  // shared fine-row cumulative histogram (fine = min stride)
+  int64_t fine = strides[0];
+  for (int64_t si = 1; si < S; ++si) fine = std::min<int64_t>(fine, strides[si]);
+  const int64_t Hf = grid_x / fine, Wf = grid_y / fine;
+  const float cellf = (float)(voxel_size * (double)fine);
+  const float xm = (float)x_min, ym = (float)y_min;
+  std::vector<int64_t> counts((size_t)(L - 1), 0);
+  for (int64_t i = 0; i < P; ++i) {
+    if (!mask[i]) continue;
+    const float* p = pts + i * 4;
+    const int64_t fx = (int64_t)std::floor((p[0] - xm) / cellf);
+    const int64_t fy = (int64_t)std::floor((p[1] - ym) / cellf);
+    if (fx < 0 || fx >= Hf || fy < 0 || fy >= Wf) continue;
+    if (fx < L - 1) ++counts[(size_t)fx];
+  }
+  int64_t acc = 0;
+  row_cum[0] = 0;
+  for (int64_t x = 0; x < L - 1; ++x) {
+    acc += counts[(size_t)x];
+    row_cum[x + 1] = (int32_t)acc;
+  }
+}
+
+// Post-projection perspective divide: uvw [P,3] (from the numpy BLAS
+// sgemm + bias, which anchors bit-parity with the device dot) -> uvz
+// (u, v, depth) with the twin's exact elementwise IEEE ops
+// (preprocess.fusion_host_arrays: uv = uvw / max(|d|, 1e-6) * sign(d)).
+void dcf_uvw_to_uvz(const float* uvw, int64_t P, float* uvz) {
+  for (int64_t i = 0; i < P; ++i) {
+    const float* w = uvw + i * 3;
+    const float d = w[2];
+    const float den = std::max(std::fabs(d), 1e-6f);
+    const float s = d > 0.f ? 1.f : (d < 0.f ? -1.f : 0.f);
+    float* o = uvz + i * 3;
+    o[0] = w[0] / den * s;
+    o[1] = w[1] / den * s;
+    o[2] = d;
+  }
+}
+
+// Fused u8 -> f32 letterbox + space-to-depth(4) image prep (the numpy twin
+// is prepare_image's normalize/letterbox + s2d_image in
+// dcf/data/preprocess.py). img: [h2, w2, 3] u8 (already resized);
+// out: [H/4, W/4, 48] f32 with out[i, j, (a*4+b)*3 + c] ==
+// img[4i+a, 4j+b, c] / 255 inside the letterbox, 0 elsewhere. u8/255.0f is
+// one exact IEEE divide per byte value (a 256-entry table), so the output
+// is bit-identical to the numpy path.
+void dcf_image_s2d_u8(const uint8_t* img, int64_t h2, int64_t w2,
+                      int64_t H, int64_t W, float* out) {
+  float lut[256];
+  for (int i = 0; i < 256; ++i) lut[i] = (float)i / 255.0f;
+  const int64_t Ho = H / 4, Wo = W / 4;
+  std::memset(out, 0, (size_t)(Ho * Wo * 48) * sizeof(float));
+  const int64_t hc = std::min(h2, H), wc = std::min(w2, W);
+  for (int64_t y = 0; y < hc; ++y) {
+    const int64_t i = y / 4, a = y % 4;
+    const uint8_t* p = img + y * w2 * 3;
+    float* orow = out + (i * Wo) * 48 + a * 12;
+    // whole 4-pixel groups: 12 contiguous floats per group
+    const int64_t jfull = wc / 4;
+    for (int64_t j = 0; j < jfull; ++j) {
+      float* o = orow + j * 48;
+      for (int k = 0; k < 12; ++k) o[k] = lut[p[k]];
+      p += 12;
+    }
+    for (int64_t x = jfull * 4; x < wc; ++x) {
+      float* o = orow + (x / 4) * 48 + (x % 4) * 3;
+      o[0] = lut[p[0]]; o[1] = lut[p[1]]; o[2] = lut[p[2]];
+      p += 3;
+    }
+  }
+}
+
+// Fine-grid row-major stable counting sort of the padded cloud (the numpy
+// twin is preprocess.sort_points_host's stable argsort; counting sort with
+// an ascending placement pass is the identical permutation). Key arithmetic
+// is the twin's exact f32 formula.
+void dcf_sort_points_fine(const float* pts, const uint8_t* mask, int64_t P,
+                          double x_min, double y_min, double voxel_size,
+                          int64_t fine, int64_t grid_x, int64_t grid_y,
+                          float* out_pts, uint8_t* out_mask) {
+  const int64_t Hf = grid_x / fine, Wf = grid_y / fine;
+  const float cell = (float)(voxel_size * (double)fine);
+  const float xm = (float)x_min, ym = (float)y_min;
+  const int64_t K = Hf * Wf + 1;                        // +1: sentinel
+  std::vector<int32_t> key((size_t)P);
+  std::vector<int64_t> pos((size_t)K + 1, 0);
+  for (int64_t i = 0; i < P; ++i) {
+    const float* p = pts + i * 4;
+    const int64_t ix = (int64_t)std::floor((p[0] - xm) / cell);
+    const int64_t iy = (int64_t)std::floor((p[1] - ym) / cell);
+    const bool inb = mask[i] && ix >= 0 && ix < Hf && iy >= 0 && iy < Wf;
+    key[(size_t)i] = inb ? (int32_t)(ix * Wf + iy) : (int32_t)(Hf * Wf);
+    ++pos[(size_t)key[(size_t)i] + 1];
+  }
+  for (int64_t k = 0; k < K; ++k) pos[(size_t)k + 1] += pos[(size_t)k];
+  for (int64_t i = 0; i < P; ++i) {
+    const int64_t o = pos[(size_t)key[(size_t)i]]++;
+    std::memcpy(out_pts + o * 4, pts + i * 4, 4 * sizeof(float));
+    out_mask[o] = mask[i];
+  }
+}
+
 }  // extern "C"
