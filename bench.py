@@ -162,11 +162,14 @@ def main() -> None:
     ach_train, mfu_train = mfu(train_fpf, 2 * 1000.0 / train_ms)
 
     print(json.dumps({
-        "metric": ("KITTI-res e2e device latency p50 over seed-varied "
+        "metric": ("KITTI-res e2e DEVICE-ONLY latency p50 over seed-varied "
                    "synthetic frames (execution-chain measured), flagship "
                    "multi-scale fusion model, batch 1 (baseline = ContFuse "
                    "paper ~60 ms/frame, 2018 GPU; reference repo "
-                   "unmeasurable -- empty checkout)"),
+                   "unmeasurable -- empty checkout; host preprocessing "
+                   "measured separately: 6.9 ms/frame single-thread, "
+                   "~95 fps sustained at 4 workers -- BASELINE.md "
+                   "round-5 host budget)"),
         "value": round(p50, 3),
         "unit": "ms",
         "vs_baseline": round(PAPER_BASELINE_MS / p50, 2),
