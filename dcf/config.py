@@ -138,6 +138,13 @@ class FusionConfig:
     # the backward's one-hot dz1 matmul work scales with this cap, so
     # smaller is faster).
     z_slab_cap: int = 1536
+    # Hard ceiling on the scaled per-slab cap (None = uncapped). The
+    # ratio scaling is worst-case generous at coarse scales (s16's slab
+    # spans 23% of the fine rows but gets 8x the cap = half of
+    # max_points); the cap bounds the backward's [hid, capz] dz1 block
+    # and z1 slab scratch -- the s16 scoped-VMEM driver of the B=8
+    # train OOM (BASELINE.md). Overflow reporting is unchanged.
+    z_slab_cap_max: int | None = None
     # z1 one-hot window per BEV ROW inside the slab (fusion_windows): a
     # row only selects neighbors from (1 + 2r) of the slab's (TH + 2r)
     # fine-row span, so the kernel's dominant matmuls run this much

@@ -262,6 +262,8 @@ class ContinuousFusionLayer(nn.Module):
         if fus.use_pallas:
             ratio = self.bev_stride // min(cfg.backbone.fusion_strides)
             capz = min(fus.z_slab_cap * ratio, _round_up(P, 128))
+            if fus.z_slab_cap_max is not None:
+                capz = min(capz, _round_up(fus.z_slab_cap_max, 128))
             capr = min(fus.z_row_cap * ratio, capz)
             P_pad = max(_round_up(P, 128), capz)
             TH, H_eff, _, _, _ = _plane_geometry(

@@ -301,6 +301,38 @@ class TestSlabOverflow:
         assert "slab_overflow" in metrics
         assert float(metrics["slab_overflow"]) == 0.0
 
+    def test_slab_cap_max_clamp(self):
+        """z_slab_cap_max: a non-biting ceiling is a bit-exact no-op;
+        a biting one still runs finite with overflow surfaced through
+        the usual metric (the clamp only shrinks the kernel's slab
+        geometry -- BASELINE.md round-5 VMEM note)."""
+        from dataclasses import replace
+        cfg, model, batch, _, params, pack = self._setup(z_slab_cap=512)
+        from dcf.train.state import create_train_state
+
+        def run(c):
+            m = ContFuseDetector(c)
+            step = jax.jit(make_train_step(c, m))
+            state = create_train_state(c, params)
+            _, metrics = step(state, batch, pack)
+            return metrics
+
+        base = run(cfg)
+        # ratio at the coarse (s4) scale is 2 -> scaled cap 1024; a
+        # 2048 ceiling never bites: identical metrics bit-for-bit
+        noop = run(replace(cfg, fusion=replace(cfg.fusion,
+                                               z_slab_cap_max=2048)))
+        for k in base:
+            np.testing.assert_array_equal(
+                np.asarray(base[k]), np.asarray(noop[k]), err_msg=k)
+        # a 512 ceiling halves the coarse slab: finite loss, overflow
+        # counted through the usual metric path (may be zero on this
+        # tiny cloud, but the graph must build and run)
+        tight = run(replace(cfg, fusion=replace(cfg.fusion,
+                                                z_slab_cap_max=512)))
+        assert np.isfinite(float(tight["loss"]))
+        assert "slab_overflow" in tight
+
     def test_undersized_cap_counts_and_debug_step_raises(self):
         cfg, model, batch, batch_np, params, pack = self._setup(
             z_slab_cap=128)
