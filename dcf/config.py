@@ -262,6 +262,17 @@ class TrainConfig:
     # (dcf.train.loop.train; exact full-batch gradients either way).
     # Multi-shard DP already reduces the per-device batch by itself.
     micro_batch_max: int = 2
+    # When > 0, the train loop preloads this many loader batches onto
+    # the device ONCE (augmentation drawn at build time) and cycles
+    # them in a per-epoch-shuffled order instead of streaming fresh
+    # host batches every step. Motivation (round 5): the tunneled TPU
+    # client leaks ~100% of every host->device transfer's bytes in
+    # host RAM (measured: an 11.5 MB/step batch stream grew RSS by
+    # ~11 MB/step until OOM), so long runs must not stream; a resident
+    # pool also removes the host data path from the step critical path.
+    # Aug diversity = resident_batches * batch_size instances over the
+    # dataset instead of fresh-per-epoch. 0 = stream (default).
+    resident_batches: int = 0
     num_steps: int = 18560        # ~40 epochs of 3712 frames at batch 8
     learning_rate: float = 2e-3
     weight_decay: float = 1e-4

@@ -151,6 +151,21 @@ def train(cfg: Config, dataset, workdir: str,
     logger = MetricsLogger(os.path.join(workdir, "metrics.jsonl"))
     total = num_steps if num_steps is not None else cfg.train.num_steps
     t0 = time.time()
+    pool = None
+    if cfg.train.resident_batches:
+        # Device-resident batch pool (see TrainConfig.resident_batches:
+        # the tunneled client leaks every host->device transfer, so long
+        # runs must not stream per-step batches).
+        import itertools
+        import random as _random
+        n = cfg.train.resident_batches
+        pool = [pmesh.shard_batch(b, mesh) for b in itertools.islice(
+            itertools.chain([first], batches), n)]
+        jax.block_until_ready(pool[-1])
+        rng_order = _random.Random(cfg.train.seed + 17)
+        order = list(range(len(pool)))
+        if is_main:
+            print(f"resident batch pool: {len(pool)} batches on device")
     pending = first
     # host-side step counter: fetching the device scalar every iteration
     # serializes a ~25 ms RPC against each step on tunneled backends;
@@ -158,9 +173,15 @@ def train(cfg: Config, dataset, workdir: str,
     # checkpoint time
     step = int(jax.device_get(state.step))
     while step < total:
-        batch = pmesh.shard_batch(pending, mesh)
+        if pool is not None:
+            if step % len(pool) == 0:
+                rng_order.shuffle(order)
+            batch = pool[order[step % len(pool)]]
+        else:
+            batch = pmesh.shard_batch(pending, mesh)
         state, metrics = step_fn(state, batch, pack)
-        pending = next(batches)
+        if pool is None:
+            pending = next(batches)
         step += 1
         if (step % cfg.train.log_every == 0 or step == total) and is_main:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}

@@ -63,6 +63,11 @@ def main():
                         "moderate AP) is additionally evaluated on val. "
                         "Curve written to workdir/eval_curve.json")
     p.add_argument("--probe-frames", type=int, default=8)
+    p.add_argument("--resident-batches", type=int, default=0,
+                   help="preload this many batches on device and cycle "
+                        "them (TrainConfig.resident_batches; required "
+                        "for long runs on tunneled backends whose "
+                        "client leaks host->device transfers)")
     args = p.parse_args()
 
     from dataclasses import replace
@@ -87,7 +92,7 @@ def main():
         cfg.train, batch_size=args.batch, num_steps=args.steps,
         learning_rate=args.lr, warmup_steps=min(150, args.steps // 10),
         checkpoint_every=args.steps, log_every=50,
-        ema_decay=args.ema))
+        ema_decay=args.ema, resident_batches=args.resident_batches))
     if args.dir_weight is not None:
         cfg = replace(cfg, loss=replace(cfg.loss,
                                         dir_weight=args.dir_weight))
